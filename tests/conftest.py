@@ -1,0 +1,20 @@
+"""Test harness setup: force an 8-device virtual CPU mesh before JAX import.
+
+Tests run on CPU with float64 enabled so numerical checks are tight; the
+library itself is dtype-preserving, so production float32 paths are
+exercised by passing float32 inputs explicitly.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin (sitecustomize) prepends itself to jax_platforms at
+# interpreter start, overriding the env var — force CPU via the config.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
