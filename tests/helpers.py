@@ -1,0 +1,139 @@
+"""Shared synthetic-scene generators for backend tests: analytic window
+trajectories with exact IMU measurements and exact landmark projections."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vins_rgbd_fast_tpu.utils import quaternion as quat
+from vins_rgbd_fast_tpu.backend.state import FRAMES, WINDOW_SIZE, WindowState
+from vins_rgbd_fast_tpu.ops import imu_preintegration as imupre
+from vins_rgbd_fast_tpu.ops.solver import VisualData, ImuData
+
+G = np.array([0.0, 0.0, 9.805])
+
+
+def simulate_window_trajectory(seed=0, T_per=0.1, rate=100, omega_scale=0.3, acc_scale=0.5):
+    """Piecewise-constant body-rate / world-acceleration trajectory over the
+    11 window frames.  Returns ground-truth WindowState arrays + per-interval
+    IMU sample batches (exact closed forms)."""
+    rng = np.random.default_rng(seed)
+    n = int(T_per * rate)
+
+    P = [np.zeros(3)]
+    Q = [np.array([1.0, 0, 0, 0])]
+    V = [np.array([0.3, 0.1, 0.05])]
+    dts, accs, gyrs = [], [], []
+
+    for k in range(WINDOW_SIZE):
+        w_b = rng.normal(size=3) * omega_scale
+        a_w = rng.normal(size=3) * acc_scale
+        P0, Q0, V0 = P[-1], Q[-1], V[-1]
+
+        ts = np.linspace(0, T_per, n + 1)
+        # closed forms
+        Qt = [np.asarray(quat.qmul(jnp.asarray(Q0), quat.so3_exp(jnp.asarray(w_b * t)))) for t in ts]
+        acc_meas = np.stack([
+            np.asarray(quat.qrot_inv(jnp.asarray(q), jnp.asarray(a_w + G))) for q in Qt
+        ])
+        gyr_meas = np.tile(w_b, (n + 1, 1))
+
+        P.append(P0 + V0 * T_per + 0.5 * a_w * T_per ** 2)
+        V.append(V0 + a_w * T_per)
+        Q.append(Qt[-1])
+        dts.append(np.diff(ts))
+        accs.append(acc_meas)
+        gyrs.append(gyr_meas)
+
+    gt = WindowState(
+        P=jnp.asarray(np.stack(P)), Q=jnp.asarray(np.stack(Q)),
+        V=jnp.asarray(np.stack(V)),
+        Ba=jnp.zeros((FRAMES, 3)), Bg=jnp.zeros((FRAMES, 3)),
+        tic=jnp.zeros(3), qic=jnp.asarray([1.0, 0, 0, 0]), td=jnp.zeros(()),
+    )
+    return gt, (np.stack(dts), np.stack(accs), np.stack(gyrs))
+
+
+def make_imu_data(imu_arrays, noise=None):
+    dts, accs, gyrs = imu_arrays
+    if noise is None:
+        noise = imupre.ImuNoise(jnp.asarray(0.1), jnp.asarray(0.01),
+                                jnp.asarray(1e-3), jnp.asarray(1e-4))
+    import jax
+
+    pre = jax.vmap(
+        lambda d, a, g: imupre.preintegrate(d, a, g, jnp.zeros(3), jnp.zeros(3), noise)
+    )(jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs))
+    return ImuData(pre=pre, valid=jnp.ones(WINDOW_SIZE, bool))
+
+
+def make_visual_data(gt: WindowState, maxf=32, n_feat=24, seed=1, depth_fixed_frac=0.5,
+                     noise_px=0.0):
+    """Project random landmarks into every window frame with the GT poses.
+
+    Returns (VisualData, landmarks_world).  ``depth_fixed_frac`` of features
+    get depth_free=False (RGB-D anchored scale)."""
+    rng = np.random.default_rng(seed)
+    # landmarks in front of the camera path
+    L = np.stack([
+        rng.uniform(-2.0, 2.0, n_feat),
+        rng.uniform(-1.5, 1.5, n_feat),
+        rng.uniform(3.0, 8.0, n_feat),
+    ], axis=-1)
+
+    Pw = np.asarray(gt.P)
+    Rw = np.asarray(quat.q2R(gt.Q))
+    obs = np.zeros((maxf, FRAMES, 2))
+    mask = np.zeros((maxf, FRAMES), bool)
+    inv_depth = np.ones(maxf)
+    for f in range(n_feat):
+        for j in range(FRAMES):
+            pc = Rw[j].T @ (L[f] - Pw[j])  # identity extrinsic
+            if pc[2] > 0.5:
+                o = pc[:2] / pc[2]
+                if noise_px > 0:
+                    o = o + rng.normal(size=2) * noise_px / 460.0
+                obs[f, j] = o
+                mask[f, j] = True
+        pc0 = Rw[0].T @ (L[f] - Pw[0])
+        inv_depth[f] = 1.0 / pc0[2]
+
+    valid = np.zeros(maxf, bool)
+    valid[:n_feat] = True
+    depth_free = valid.copy()
+    fixed = rng.random(maxf) < depth_fixed_frac
+    depth_free = valid & ~fixed
+
+    vis = VisualData(
+        start=jnp.zeros(maxf, jnp.int32),
+        pts=jnp.asarray(obs),
+        vel=jnp.zeros((maxf, FRAMES, 2)),
+        td_obs=jnp.zeros((maxf, FRAMES)),
+        row_scaled=jnp.zeros((maxf, FRAMES)),
+        obs_mask=jnp.asarray(mask),
+        inv_depth=jnp.asarray(inv_depth),
+        depth_free=jnp.asarray(depth_free),
+        valid=jnp.asarray(valid),
+    )
+    return vis, L
+
+
+def perturb_state(gt: WindowState, seed=2, dp=0.05, dth=0.02, dv=0.05, dbias=0.01,
+                  keep_frame0=False):
+    rng = np.random.default_rng(seed)
+
+    def noise(shape, s):
+        return jnp.asarray(rng.normal(size=shape) * s)
+
+    dP = noise((FRAMES, 3), dp)
+    dTh = noise((FRAMES, 3), dth)
+    if keep_frame0:
+        dP = dP.at[0].set(0.0)
+        dTh = dTh.at[0].set(0.0)
+    return WindowState(
+        P=gt.P + dP,
+        Q=quat.qboxplus(gt.Q, dTh),
+        V=gt.V + noise((FRAMES, 3), dv),
+        Ba=gt.Ba + noise((FRAMES, 3), dbias),
+        Bg=gt.Bg + noise((FRAMES, 3), dbias),
+        tic=gt.tic, qic=gt.qic, td=gt.td,
+    )

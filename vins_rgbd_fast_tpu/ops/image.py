@@ -1,0 +1,144 @@
+"""Image preprocessing ops (frontend substrate): CLAHE, Gaussian pyramid,
+bilinear sampling.
+
+The reference leans on OpenCV for these (``cv::createCLAHE(3.0, 8x8)``,
+``feature_tracker.cpp:269-275``; pyramid construction inside
+``calcOpticalFlowPyrLK``).  Here they are pure fixed-shape XLA ops: the
+histogram/CDF work of CLAHE becomes one-hot matmuls (MXU-friendly), the
+pyramid a strided separable conv.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Bilinear sampling (shared by LK, BRIEF patches, undistortion maps)
+# ---------------------------------------------------------------------------
+
+
+def bilinear_sample(img: jax.Array, xy: jax.Array, pad_value: float = 0.0) -> jax.Array:
+    """Sample img (H,W) at float coords xy (..., 2) = (x, y); out-of-range
+    coords clamp to the border (OpenCV BORDER_REPLICATE-like)."""
+    H, W = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaussian pyramid (pyrDown-style: 5-tap [1 4 6 4 1]/16, stride 2)
+# ---------------------------------------------------------------------------
+
+_PYR_KERNEL = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """One pyramid level: separable 5-tap Gaussian + 2x decimation."""
+    k = _PYR_KERNEL.astype(img.dtype)
+    x = img[None, None]  # NCHW
+    kh = k.reshape(1, 1, 5, 1)
+    kw = k.reshape(1, 1, 1, 5)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(2, 2), (0, 0)])
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (2, 2)])
+    return x[0, 0, ::2, ::2]
+
+
+def build_pyramid(img: jax.Array, levels: int):
+    """List of ``levels`` images, level 0 = full resolution."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+# ---------------------------------------------------------------------------
+# CLAHE
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("tiles", "clip_limit", "nbins"))
+def clahe(img: jax.Array, tiles: int = 8, clip_limit: float = 3.0, nbins: int = 256) -> jax.Array:
+    """Contrast-limited adaptive histogram equalization, OpenCV semantics
+    (clipLimit=3.0, tileGrid 8×8 as the reference configures it).
+
+    img: (H, W) uint8 or float in [0, 255].  Histograms are per-tile one-hot
+    reductions; the per-tile LUTs are applied with bilinear interpolation
+    between the four surrounding tile centers.
+    """
+    H, W = img.shape
+    th, tw = H // tiles, W // tiles
+    Hc, Wc = th * tiles, tw * tiles
+    imgc = img[:Hc, :Wc].astype(jnp.float32)
+
+    tiles_img = imgc.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)  # (T,T,th,tw)
+    bins = jnp.clip(tiles_img.astype(jnp.int32), 0, nbins - 1)
+    onehot = jax.nn.one_hot(bins.reshape(tiles, tiles, -1), nbins, dtype=jnp.float32)
+    hist = onehot.sum(axis=2)  # (T,T,nbins)
+
+    # clip + uniform redistribution of the excess (one pass, OpenCV-style)
+    limit = jnp.maximum(clip_limit * (th * tw) / nbins, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    # LUT: scale cdf to [0, 255]
+    lut = (cdf - cdf[..., :1]) / jnp.maximum(cdf[..., -1:] - cdf[..., :1], 1.0) * (nbins - 1)
+
+    # bilinear LUT interpolation across tile centers
+    yy = jnp.arange(Hc, dtype=jnp.float32)
+    xx = jnp.arange(Wc, dtype=jnp.float32)
+    ty = (yy - th / 2.0 + 0.5) / th
+    tx = (xx - tw / 2.0 + 0.5) / tw
+    ty0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, tiles - 1)
+    ty1 = jnp.clip(ty0 + 1, 0, tiles - 1)
+    tx0 = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, tiles - 1)
+    tx1 = jnp.clip(tx0 + 1, 0, tiles - 1)
+    fy = jnp.clip(ty - jnp.floor(ty), 0.0, 1.0)
+    fx = jnp.clip(tx - jnp.floor(tx), 0.0, 1.0)
+    # handle edge tiles (constant extension)
+    fy = jnp.where((ty < 0) | (ty > tiles - 1), jnp.where(ty < 0, 0.0, 1.0), fy)
+    fx = jnp.where((tx < 0) | (tx > tiles - 1), jnp.where(tx < 0, 0.0, 1.0), fx)
+
+    pix = jnp.clip(imgc.astype(jnp.int32), 0, nbins - 1)
+    ty0g = ty0[:, None].repeat(Wc, 1)
+    ty1g = ty1[:, None].repeat(Wc, 1)
+    tx0g = tx0[None, :].repeat(Hc, 0)
+    tx1g = tx1[None, :].repeat(Hc, 0)
+    v00 = lut[ty0g, tx0g, pix]
+    v01 = lut[ty0g, tx1g, pix]
+    v10 = lut[ty1g, tx0g, pix]
+    v11 = lut[ty1g, tx1g, pix]
+    fyg = fy[:, None]
+    fxg = fx[None, :]
+    out = (
+        v00 * (1 - fyg) * (1 - fxg)
+        + v01 * (1 - fyg) * fxg
+        + v10 * fyg * (1 - fxg)
+        + v11 * fyg * fxg
+    )
+    # paste back into the (possibly) larger frame unchanged at the margins
+    full = img.astype(jnp.float32)
+    full = full.at[:Hc, :Wc].set(out)
+    return full
