@@ -117,6 +117,83 @@ def make_visual_data(gt: WindowState, maxf=32, n_feat=24, seed=1, depth_fixed_fr
     return vis, L
 
 
+def simulate_long_trajectory(n_frames, T_per=0.1, rate=100, seed=0,
+                             omega_scale=0.25, acc_scale=0.4):
+    """Smooth piecewise-constant-rate trajectory over n_frames frames.
+    Returns dict with frame times/states and the raw IMU sample stream."""
+    rng = np.random.default_rng(seed)
+    n = int(T_per * rate)
+    P = [np.zeros(3)]
+    Q = [np.array([1.0, 0, 0, 0])]
+    V = [np.array([0.25, 0.1, 0.0])]
+    times = [0.0]
+    imu_stream = []  # (t, acc, gyr)
+    # emit the boundary sample at t=0
+    a_w0 = np.zeros(3)
+    imu_stream.append((0.0, np.asarray(quat.qrot_inv(jnp.asarray(Q[0]), jnp.asarray(a_w0 + G))), np.zeros(3)))
+
+    w_b = rng.normal(size=3) * omega_scale
+    a_w = rng.normal(size=3) * acc_scale
+    for k in range(n_frames - 1):
+        # smooth variation of rates between intervals
+        w_b = 0.8 * w_b + 0.2 * rng.normal(size=3) * omega_scale
+        a_w = 0.8 * a_w + 0.2 * rng.normal(size=3) * acc_scale
+        P0, Q0, V0 = P[-1], Q[-1], V[-1]
+        t0 = times[-1]
+        ts = np.linspace(0, T_per, n + 1)
+        for t in ts[1:]:
+            q_t = np.asarray(quat.qmul(jnp.asarray(Q0), quat.so3_exp(jnp.asarray(w_b * t))))
+            acc_meas = np.asarray(quat.qrot_inv(jnp.asarray(q_t), jnp.asarray(a_w + G)))
+            imu_stream.append((t0 + t, acc_meas, w_b.copy()))
+        P.append(P0 + V0 * T_per + 0.5 * a_w * T_per ** 2)
+        V.append(V0 + a_w * T_per)
+        Q.append(np.asarray(quat.qmul(jnp.asarray(Q0), quat.so3_exp(jnp.asarray(w_b * T_per)))))
+        times.append(t0 + T_per)
+    return dict(times=np.asarray(times), P=np.stack(P), Q=np.stack(Q),
+                V=np.stack(V), imu=imu_stream)
+
+
+def make_landmark_field(traj, n_landmarks=400, seed=1):
+    """Landmarks scattered around/ahead of the trajectory."""
+    rng = np.random.default_rng(seed)
+    Pmin = traj["P"].min(axis=0) - np.array([4.0, 4.0, 1.0])
+    Pmax = traj["P"].max(axis=0) + np.array([4.0, 4.0, 8.0])
+    return np.stack([rng.uniform(Pmin[i], Pmax[i], n_landmarks) for i in range(3)], -1)
+
+
+def project_frame_features(P, Q, L, maxc, depth_noise=0.0, px_noise=0.0,
+                           focal=460.0, center=(320.0, 240.0), rng=None):
+    """Exact projections of the landmark field from pose (P, Q) (identity
+    extrinsic) into a FrameFeatures batch; ids = landmark indices."""
+    from vins_rgbd_fast_tpu.backend.feature_table import FrameFeatures
+
+    Rw = np.asarray(quat.q2R(jnp.asarray(Q)))
+    pc = (L - P) @ Rw  # world -> cam (R^T (L - P))
+    z = pc[:, 2]
+    xy = pc[:, :2] / np.where(np.abs(z) > 1e-6, z, 1e-6)[:, None]
+    vis = (z > 0.7) & (z < 9.0) & (np.abs(xy[:, 0]) < 0.55) & (np.abs(xy[:, 1]) < 0.42)
+    idx = np.nonzero(vis)[0][:maxc]
+    k = len(idx)
+    ids = np.full(maxc, -1, np.int32)
+    pts = np.zeros((maxc, 2))
+    uv = np.zeros((maxc, 2))
+    depth = np.zeros(maxc)
+    ids[:k] = idx
+    obs = xy[idx]
+    if px_noise > 0 and rng is not None:
+        obs = obs + rng.normal(size=obs.shape) * px_noise / focal
+    pts[:k] = obs
+    uv[:k] = obs * focal + np.asarray(center)
+    d = z[idx]
+    if depth_noise > 0 and rng is not None:
+        d = d * (1.0 + rng.normal(size=d.shape) * depth_noise)
+    depth[:k] = d
+    return FrameFeatures(
+        ids=jnp.asarray(ids), pts=jnp.asarray(pts), uv=jnp.asarray(uv),
+        vel=jnp.zeros((maxc, 2)), depth=jnp.asarray(depth),
+    )
+
+
 def perturb_state(gt: WindowState, seed=2, dp=0.05, dth=0.02, dv=0.05, dbias=0.01,
                   keep_frame0=False):
     rng = np.random.default_rng(seed)

@@ -1,0 +1,101 @@
+"""End-to-end estimator tests: full synthetic VIO/VO sequences through the
+fill → init → steady-state pipeline with sliding window + marginalization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vins_rgbd_fast_tpu.config import VinsConfig
+from vins_rgbd_fast_tpu.backend import estimator as est
+from vins_rgbd_fast_tpu.utils import quaternion as quat
+
+from tests.helpers import (
+    simulate_long_trajectory, make_landmark_field, project_frame_features,
+)
+
+MAXC = 48
+
+
+def _run_vio(n_frames=25, depth_noise=0.0, px_noise=0.0, seed=0, imu=True):
+    cfg = VinsConfig(
+        imu=imu, static_init=True, estimate_td=False, rolling_shutter=False,
+        max_cnt=MAXC, max_features=MAXC, max_imu_per_frame=16,
+        fix_depth=True, depth_min_dist=0.3, depth_max_dist=10.0,
+        keyframe_parallax=10.0,
+        acc_n=0.1, gyr_n=0.01, acc_w=1e-4, gyr_w=1e-5,
+    )
+    traj = simulate_long_trajectory(n_frames, seed=seed)
+    L = make_landmark_field(traj, n_landmarks=500, seed=seed + 1)
+    rng = np.random.default_rng(seed + 2)
+
+    e = est.VinsEstimator(cfg, dtype=jnp.float64)
+    for (t, a, w) in traj["imu"]:
+        e.push_imu(t, a, w)
+
+    outs = []
+    for k in range(n_frames):
+        feats = project_frame_features(
+            traj["P"][k], traj["Q"][k], L, MAXC,
+            depth_noise=depth_noise, px_noise=px_noise, rng=rng,
+        )
+        out = e.process_features(feats, float(traj["times"][k]))
+        if out is not None:
+            outs.append((k, out))
+    return traj, outs, e
+
+
+def test_vio_e2e_exact_measurements():
+    """With exact measurements the estimated trajectory must match ground
+    truth to millimetres across the whole run (window slides ~14 times)."""
+    traj, outs, e = _run_vio(n_frames=25)
+    assert len(outs) >= 14, f"only {len(outs)} solved frames"
+    errs = []
+    for k, out in outs:
+        errs.append(np.linalg.norm(out["P"] - traj["P"][k]))
+    errs = np.asarray(errs)
+    assert errs.max() < 2e-2, errs
+    assert errs[-1] < 2e-2, errs[-1]
+    # velocity sanity at the last frame
+    k, out = outs[-1]
+    assert np.linalg.norm(out["V"] - traj["V"][k]) < 5e-2
+
+
+def test_vio_e2e_noisy_measurements():
+    """1px-class pixel noise + 2% depth noise: drift stays bounded."""
+    traj, outs, e = _run_vio(n_frames=25, depth_noise=0.02, px_noise=1.0, seed=5)
+    assert len(outs) >= 14
+    k, out = outs[-1]
+    travelled = np.sum(np.linalg.norm(np.diff(traj["P"][:k + 1], axis=0), axis=1))
+    err = np.linalg.norm(out["P"] - traj["P"][k])
+    assert err < max(0.05 * travelled, 0.05), (err, travelled)
+
+
+def test_vo_mode_e2e():
+    """VO mode (no IMU): PnP init + depth-anchored BA."""
+    traj, outs, e = _run_vio(n_frames=20, imu=False, seed=7)
+    assert len(outs) >= 9
+    k, out = outs[-1]
+    err = np.linalg.norm(out["P"] - traj["P"][k])
+    assert err < 0.05, err
+
+
+def test_failure_reset_on_garbage():
+    """A burst of absurd depth should not crash; failure detection may
+    reboot the estimator and the host keeps running."""
+    cfg = VinsConfig(
+        imu=True, static_init=True, max_cnt=MAXC, max_features=MAXC,
+        max_imu_per_frame=16, acc_n=0.1, gyr_n=0.01,
+    )
+    traj = simulate_long_trajectory(18, seed=11)
+    L = make_landmark_field(traj, seed=12)
+    e = est.VinsEstimator(cfg, dtype=jnp.float64)
+    for (t, a, w) in traj["imu"]:
+        e.push_imu(t, a, w)
+    for k in range(18):
+        feats = project_frame_features(traj["P"][k], traj["Q"][k], L, MAXC)
+        if k == 13:  # inject garbage observations
+            feats = feats._replace(pts=feats.pts + 5.0)
+        e.process_features(feats, float(traj["times"][k]))
+    # survived without exceptions; estimator still has finite state
+    assert bool(jnp.isfinite(e.state.x.P).all())

@@ -1,0 +1,181 @@
+"""Loop closure tests: BRIEF matching, 4-DoF PGO drift correction, and
+full place-recognition round trip on rendered revisits."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vins_rgbd_fast_tpu.loop import brief
+from vins_rgbd_fast_tpu.loop import pose_graph as pg
+from vins_rgbd_fast_tpu.models import make_camera
+from vins_rgbd_fast_tpu.io import synthetic as syn
+from vins_rgbd_fast_tpu.utils import quaternion as quat
+
+
+def _texture_img(seed=0, H=160, W=200):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    img = 110.0 * np.tanh(2.0 * np.sin(2 * np.pi * xx / 22)) * np.tanh(
+        2.0 * np.sin(2 * np.pi * yy / 22))
+    for _ in range(5):
+        fy, fx = rng.uniform(0.05, 0.3, 2)
+        img += rng.uniform(10, 25) * np.sin(fy * yy + fx * xx)
+    return jnp.asarray((img + 128).astype(np.float32))
+
+
+def test_brief_self_match_and_discrimination():
+    img = _texture_img(0)
+    rng = np.random.default_rng(1)
+    uv = jnp.asarray(np.stack([rng.uniform(30, 170, 32), rng.uniform(30, 130, 32)], -1))
+    valid = jnp.ones(32, bool)
+    d = brief.compute_descriptors(img, uv, valid)
+    D = np.asarray(brief.hamming_matrix(d, d))
+    assert np.allclose(np.diag(D), 0)
+    off = D + np.eye(32) * 1e9
+    # periodic texture is the worst case; distinct patches still separate
+    # clearly from the 0-distance self matches
+    assert off.min() > 15
+    assert np.median(off.min(axis=1)) > 30
+
+
+def test_brief_matches_shifted_view():
+    """Descriptors at the same scene points in a translated image match."""
+    shift = np.array([7.0, 4.0])
+    rng = np.random.default_rng(2)
+    H, W = 160, 200
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+
+    def render(off):
+        img = 110.0 * np.tanh(2.0 * np.sin(2 * np.pi * (xx - off[0]) / 22)) * np.tanh(
+            2.0 * np.sin(2 * np.pi * (yy - off[1]) / 22))
+        return jnp.asarray((img + 128).astype(np.float32))
+
+    img1, img2 = render((0, 0)), render(shift)
+    uv1 = jnp.asarray(np.stack([rng.uniform(40, 150, 24), rng.uniform(40, 110, 24)], -1))
+    uv2 = uv1 + jnp.asarray(shift)
+    v = jnp.ones(24, bool)
+    d1 = brief.compute_descriptors(img1, uv1, v)
+    d2 = brief.compute_descriptors(img2, uv2, v)
+    idx, ok = brief.match(d1, d2, v, v)
+    assert np.asarray(ok).mean() > 0.9
+    assert (np.asarray(idx)[np.asarray(ok)] == np.arange(24)[np.asarray(ok)]).mean() > 0.9
+
+
+def test_optimize_4dof_closes_loop():
+    """Square path with translation (scale-like) odometry drift and exact
+    loop measurements: the loop edges must pull the end poses back near
+    truth, distributing the correction through the chain."""
+    K = 24
+    gt_t = []
+    gt_yaw = []
+    for k in range(K):
+        leg = k // 6
+        s = k % 6
+        base = {0: (0, 0), 1: (6, 0), 2: (6, 6), 3: (0, 6)}[leg]
+        d = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}[leg]
+        gt_t.append([base[0] + d[0] * s, base[1] + d[1] * s, 0.0])
+        gt_yaw.append(leg * 90.0)
+    gt_t = np.asarray(gt_t, float)
+    gt_yaw = np.asarray(gt_yaw, float)
+
+    # VIO with 6% translation scale drift, exact yaw
+    scale = 1.06
+    vio_yaw = gt_yaw.copy()
+    vio_t = np.zeros((K, 3))
+    for k in range(1, K):
+        R_prev = np.asarray(quat.yaw_R(jnp.asarray(gt_yaw[k - 1])))
+        rel = R_prev.T @ (gt_t[k] - gt_t[k - 1])
+        vio_t[k] = vio_t[k - 1] + R_prev @ (rel * scale)
+
+    e_i, e_j, e_rt, e_ry, e_loop = [], [], [], [], []
+    for k in range(1, K):
+        for b in range(1, 5):
+            if k - b < 0:
+                continue
+            Rj = np.asarray(quat.yaw_R(jnp.asarray(vio_yaw[k - b])))
+            e_i.append(k - b); e_j.append(k)
+            e_rt.append(Rj.T @ (vio_t[k] - vio_t[k - b]))
+            e_ry.append(vio_yaw[k] - vio_yaw[k - b])
+            e_loop.append(False)
+    # exact loop measurements tying the tail back to the head
+    for (a, b) in [(0, K - 1), (1, K - 2), (2, K - 3)]:
+        Ra = np.asarray(quat.yaw_R(jnp.asarray(gt_yaw[a])))
+        e_i.append(a); e_j.append(b)
+        e_rt.append(Ra.T @ (gt_t[b] - gt_t[a]))
+        e_ry.append(gt_yaw[b] - gt_yaw[a])
+        e_loop.append(True)
+
+    E = len(e_i)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    yaw_o, t_o, c0, c1 = pg.optimize_4dof(
+        jnp.asarray(vio_yaw), jnp.asarray(vio_t),
+        jnp.zeros(K), jnp.zeros(K),
+        jnp.ones(K, bool), jnp.asarray(fixed),
+        jnp.asarray(e_i, jnp.int32), jnp.asarray(e_j, jnp.int32),
+        jnp.asarray(np.asarray(e_rt)), jnp.asarray(e_ry),
+        jnp.ones(E), jnp.asarray(e_loop), jnp.ones(E, bool),
+        n_nodes_static=K, iters=12,
+    )
+    assert float(c1) < float(c0)
+    end_err_before = np.linalg.norm(vio_t[K - 1] - gt_t[K - 1])
+    end_err_after = np.linalg.norm(np.asarray(t_o)[K - 1] - gt_t[K - 1])
+    assert end_err_after < 0.5 * end_err_before, (end_err_before, end_err_after)
+
+
+@pytest.mark.slow
+def test_place_recognition_on_rendered_revisit():
+    """Render keyframes along a path that revisits its start; the pose
+    graph must retrieve the early keyframe and verify it geometrically."""
+    rig = syn.SyntheticRig(width=320, height=240, fx=230.0, fy=230.0,
+                          cx=160.0, cy=120.0)
+    cam = make_camera("PINHOLE", fx=rig.fx, fy=rig.fy, cx=rig.cx, cy=rig.cy,
+                      width=320, height=240)
+    cfg = pg.PoseGraphConfig(max_kp=128, max_wp=64, recency_exclusion=6,
+                             min_loop_num=15, score_best=0.10, score_second=0.03)
+    ric = np.eye(3)
+    tic = np.zeros(3)
+    graph = pg.PoseGraph(cfg, cam, ric, tic)
+
+    # poses: forward sweep then return to start (looking +z into the room)
+    def pose(k):
+        if k < 10:
+            P = np.array([-2.0 + 0.45 * k, 0.3 * np.sin(k), 0.0])
+        else:
+            P = np.array([-2.0 + 0.05 * (k - 10), 0.02 * (k - 10), 0.0])
+        q = np.array([1.0, 0, 0, 0])
+        return P, q
+
+    found = []
+    for k in range(14):
+        P, q = pose(k)
+        img, depth = syn.render_frame(rig, jnp.asarray(P, jnp.float32),
+                                      jnp.asarray(q, jnp.float32))
+        # window points = strongest FAST corners with rendered depth (in the
+        # real pipeline these are the tracked features — corner-anchored)
+        from vins_rgbd_fast_tpu.ops import fast as fast_ops
+        score = fast_ops.nms3(fast_ops.fast_score(img, 20.0))
+        _, idxs = jax.lax.top_k(score.reshape(-1), cfg.max_wp)
+        uv = np.stack([np.asarray(idxs) % 320, np.asarray(idxs) // 320], -1).astype(float)
+        d = np.asarray(depth)[uv[:, 1].astype(int), uv[:, 0].astype(int)]
+        rays = np.asarray(cam.lift(jnp.asarray(uv)))
+        pc = rays * d[:, None]
+        Rwc = np.asarray(quat.q2R(jnp.asarray(q)))
+        wp_world = pc @ Rwc.T + P
+        wp_valid = d > 0.2
+        info = graph.add_keyframe(
+            np.asarray(img), float(k), P, q,
+            wp_world, uv, rays[:, :2], wp_valid,
+        )
+        if info is not None:
+            found.append((k, info))
+
+    assert found, "no loop detected on revisit"
+    k, info = found[0]
+    assert info["old"] <= 2 and k >= 10
+    # verified relative pose should be small (true revisit offset)
+    assert np.linalg.norm(info["rel_t"]) < 1.5
+    assert abs(info["rel_yaw"]) < 10.0

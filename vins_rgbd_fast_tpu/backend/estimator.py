@@ -1,0 +1,734 @@
+"""Sliding-window VIO estimator (layer L5/L6): device programs + host shell.
+
+Re-designs the reference's ``Estimator`` state machine
+(``/root/reference/vins_estimator/src/estimator/estimator.{h,cpp}``:
+INITIAL→NON_LINEAR, ``processIMU`` midpoint propagation, ``processImage``
+keyframe decision → MARGIN_OLD/MARGIN_SECOND_NEW, the Ceres
+``optimization()``, ``slideWindow``, ``failureDetection`` + auto-reboot,
+``movingConsistencyCheck``) plus the nodelet's processing thread
+(``estimator_nodelet.cpp:462-568``) as:
+
+  * THREE jitted device programs —
+      ``fill_step``  (window-filling phase, one trace for all slots),
+      ``init_full``  (static/VO initialization at window-full),
+      ``vio_step``   (steady state: ingest → propagate → triangulate →
+                      solve → checks → marginalize → slide, ONE program)
+  * a thin host class ``VinsEstimator`` owning the tiny amount of genuinely
+    sequential state (frame counter, solver phase, reset logic) and the
+    IMU interval bookkeeping.
+
+All per-frame device state lives in one ``EstimatorState`` pytree; raw IMU
+sample buffers are kept per interval so preintegrations are *re-propagated
+from raw measurements at the current bias linearization every frame* (the
+reference only repropagates at init — recomputing is cheap on TPU and
+strictly more accurate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import VinsConfig
+from ..models.camera import CameraModel
+from ..ops import imu_preintegration as imupre
+from ..ops import marginalization as marg
+from ..ops import ransac as ransac_ops
+from ..ops import solver as slv
+from ..utils import quaternion as quat
+from . import feature_table as ftab
+from . import initialization as init_ops
+from .feature_table import FeatureTable, FrameFeatures
+from .state import FRAMES, WINDOW_SIZE, WindowState, identity_state
+
+FOCAL_LENGTH = 460.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    """Static (trace-time) estimator configuration."""
+
+    maxf: int
+    max_imu: int = 32
+    use_imu: bool = True
+    static_init: bool = True
+    estimate_td: bool = False
+    estimate_extrinsic: bool = False
+    fix_depth: bool = True
+    depth_min_dist: float = 0.3
+    depth_max_dist: float = 6.0
+    min_parallax: float = 10.0 / FOCAL_LENGTH
+    g_norm: float = 9.805
+    acc_n: float = 1.0
+    gyr_n: float = 0.01
+    acc_w: float = 0.001
+    gyr_w: float = 0.0001
+    tr_over_row: float = 0.0  # rolling_shutter_tr / image_height
+    max_iters: int = 8
+
+    @classmethod
+    def from_vins(cls, cfg: VinsConfig) -> "EstimatorConfig":
+        return cls(
+            maxf=cfg.feature_capacity,
+            max_imu=cfg.max_imu_per_frame,
+            use_imu=cfg.imu,
+            static_init=cfg.static_init,
+            estimate_td=cfg.estimate_td,
+            estimate_extrinsic=cfg.estimate_extrinsic > 0,
+            fix_depth=cfg.fix_depth,
+            depth_min_dist=cfg.depth_min_dist,
+            depth_max_dist=cfg.depth_max_dist,
+            min_parallax=cfg.keyframe_parallax / cfg.focal_length,
+            g_norm=cfg.g_norm,
+            acc_n=cfg.acc_n, gyr_n=cfg.gyr_n, acc_w=cfg.acc_w, gyr_w=cfg.gyr_w,
+            tr_over_row=(cfg.rolling_shutter_tr / cfg.image_height
+                         if cfg.rolling_shutter else 0.0),
+            max_iters=cfg.max_num_iterations,
+        )
+
+    @property
+    def solver(self) -> slv.SolverConfig:
+        return slv.SolverConfig(
+            maxf=self.maxf,
+            max_iters=self.max_iters,
+            use_imu=self.use_imu,
+            estimate_td=self.estimate_td,
+            estimate_extrinsic=self.estimate_extrinsic,
+            fix_pose0=not self.use_imu,
+            yaw_gauge=self.use_imu,
+        )
+
+    @property
+    def noise(self) -> imupre.ImuNoise:
+        return imupre.ImuNoise(
+            acc_n=jnp.asarray(self.acc_n), gyr_n=jnp.asarray(self.gyr_n),
+            acc_w=jnp.asarray(self.acc_w), gyr_w=jnp.asarray(self.gyr_w),
+        )
+
+    def gravity(self, dtype=jnp.float32) -> jax.Array:
+        return jnp.asarray([0.0, 0.0, self.g_norm], dtype)
+
+
+class EstimatorState(NamedTuple):
+    """Complete device-side state of the backend."""
+
+    x: WindowState
+    table: FeatureTable
+    prior: slv.PriorFactor
+    # raw IMU buffers: slot j spans (frame j-1, frame j]; slot 0 unused
+    imu_dts: jax.Array  # (FRAMES, MAXI)
+    imu_acc: jax.Array  # (FRAMES, MAXI+1, 3)
+    imu_gyr: jax.Array  # (FRAMES, MAXI+1, 3)
+    # failure-detection anchors (reference last_P/last_R)
+    last_P: jax.Array  # (3,)
+    last_Q: jax.Array  # (4,)
+
+
+def init_estimator_state(cfg: EstimatorConfig, ric: np.ndarray, tic: np.ndarray,
+                         td: float, dtype=jnp.float32) -> EstimatorState:
+    x = identity_state(dtype)
+    x = x._replace(
+        qic=quat.R2q(jnp.asarray(ric, dtype)),
+        tic=jnp.asarray(tic, dtype),
+        td=jnp.asarray(td, dtype),
+    )
+    return EstimatorState(
+        x=x,
+        table=ftab.empty_table(cfg.maxf, dtype),
+        prior=slv.empty_prior(dtype),
+        imu_dts=jnp.zeros((FRAMES, cfg.max_imu), dtype),
+        imu_acc=jnp.zeros((FRAMES, cfg.max_imu + 1, 3), dtype),
+        imu_gyr=jnp.zeros((FRAMES, cfg.max_imu + 1, 3), dtype),
+        last_P=jnp.zeros(3, dtype),
+        last_Q=quat.q_identity(dtype),
+    )
+
+
+class ImuInterval(NamedTuple):
+    """One frame interval of IMU samples (fixed capacity, zero-padded)."""
+
+    dts: jax.Array  # (MAXI,)
+    acc: jax.Array  # (MAXI+1, 3)
+    gyr: jax.Array  # (MAXI+1, 3)
+
+
+def empty_interval(cfg: EstimatorConfig, dtype=jnp.float32) -> ImuInterval:
+    return ImuInterval(
+        dts=jnp.zeros((cfg.max_imu,), dtype),
+        acc=jnp.zeros((cfg.max_imu + 1, 3), dtype),
+        gyr=jnp.zeros((cfg.max_imu + 1, 3), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared device helpers
+# ---------------------------------------------------------------------------
+
+
+def _make_preints(cfg: EstimatorConfig, st: EstimatorState) -> slv.ImuData:
+    """Re-propagate all window preintegrations from raw buffers at the
+    current per-frame bias linearization (vmapped scan)."""
+    ba = st.x.Ba[:-1]  # interval i -> i+1 linearizes at frame i biases
+    bg = st.x.Bg[:-1]
+    pre = jax.vmap(
+        lambda d, a, g, b1, b2: imupre.preintegrate(d, a, g, b1, b2, cfg.noise)
+    )(st.imu_dts[1:], st.imu_acc[1:], st.imu_gyr[1:], ba, bg)
+    valid = (jnp.sum(st.imu_dts[1:], axis=1) > 0) & (
+        jnp.sum(st.imu_dts[1:], axis=1) < 10.0
+    )
+    return slv.ImuData(pre=pre, valid=valid)
+
+
+def _visual_data(cfg: EstimatorConfig, t: FeatureTable) -> slv.VisualData:
+    inv_depth, free, valid = ftab.solver_depth_view(t, cfg.fix_depth)
+    return slv.VisualData(
+        start=t.start,
+        pts=t.pts,
+        vel=t.vel,
+        td_obs=t.td_obs,
+        row_scaled=t.uv[..., 1] * cfg.tr_over_row,
+        obs_mask=t.obs_mask,
+        inv_depth=inv_depth,
+        depth_free=free,
+        valid=valid,
+    )
+
+
+def _propagate_newest(cfg: EstimatorConfig, st: EstimatorState, j: jax.Array) -> WindowState:
+    """IMU-propagate frame j's state from frame j-1 through slot-j samples
+    (the reference's per-sample ``processIMU`` integration, collapsed to
+    one preintegration compose)."""
+    x = st.x
+    dtype = x.P.dtype
+    i = j - 1
+    pre = imupre.preintegrate(
+        st.imu_dts[j], st.imu_acc[j], st.imu_gyr[j], x.Ba[i], x.Bg[i], cfg.noise
+    )
+    g = cfg.gravity(dtype)
+    dt = pre.sum_dt
+    Qi = x.Q[i]
+    Pj = x.P[i] + x.V[i] * dt - 0.5 * g * dt * dt + quat.qrot(Qi, pre.delta_p)
+    Vj = x.V[i] - g * dt + quat.qrot(Qi, pre.delta_v)
+    Qj = quat.qnormalize(quat.qmul(Qi, pre.delta_q))
+    return x._replace(
+        P=x.P.at[j].set(Pj),
+        Q=x.Q.at[j].set(Qj),
+        V=x.V.at[j].set(Vj),
+        Ba=x.Ba.at[j].set(x.Ba[i]),
+        Bg=x.Bg.at[j].set(x.Bg[i]),
+    )
+
+
+def _store_interval(st: EstimatorState, j: jax.Array, imu: ImuInterval) -> EstimatorState:
+    return st._replace(
+        imu_dts=st.imu_dts.at[j].set(imu.dts),
+        imu_acc=st.imu_acc.at[j].set(imu.acc),
+        imu_gyr=st.imu_gyr.at[j].set(imu.gyr),
+    )
+
+
+def _pnp_newest(cfg: EstimatorConfig, st: EstimatorState, key) -> WindowState:
+    """VO-mode pose init for the newest frame by PnP on depth-anchored
+    landmarks (``initFramePoseByPnP``, feature_manager.cpp:545-642)."""
+    x = st.x
+    t = st.table
+    dtype = x.P.dtype
+    j = FRAMES - 1
+    # world points from start-frame estimated depth
+    s = t.start
+    pts_s = jnp.take_along_axis(t.pts, s[:, None, None], axis=1)[:, 0]  # (MAXF,2)
+    rays = jnp.concatenate([pts_s, jnp.ones_like(pts_s[:, :1])], axis=-1)
+    p_cam = rays * t.est_depth[:, None]
+    t_wc, R_wc = ftab.cam_poses(x.P, x.Q, x.tic, x.qic)
+    Rs = R_wc[s]
+    ts = t_wc[s]
+    p_w = jnp.einsum("nij,nj->ni", Rs, p_cam) + ts
+    obs_j = t.pts[:, j]
+    ok = (
+        ftab.active_rows(t) & (t.est_depth > 0) & t.obs_mask[:, j] & ~t.is_dynamic
+    )
+    # initial guess: previous frame's camera pose (the reference seeds
+    # solvePnP with it, feature_manager.cpp:560-588)
+    R_prev = R_wc[j - 1]
+    t_prev = t_wc[j - 1]
+    res = ransac_ops.pnp_ransac_guess(
+        key, p_w, obs_j, ok, R_prev.T, -R_prev.T @ t_prev,
+        threshold=10.0 / 460.0,
+    )
+    R_cw = res.model[:, :3]
+    t_cw = res.model[:, 3]
+    # cam pose -> imu pose
+    R_wc_j = R_cw.T
+    t_wc_j = -R_cw.T @ t_cw
+    R_wi = R_wc_j @ quat.q2R(x.qic).T
+    P_wi = t_wc_j - R_wi @ x.tic
+    use = res.ok
+    return x._replace(
+        P=x.P.at[j].set(jnp.where(use, P_wi, x.P[j])),
+        Q=x.Q.at[j].set(jnp.where(use, quat.R2q(R_wi), x.Q[j])),
+    )
+
+
+def _moving_consistency(cfg: EstimatorConfig, x: WindowState, t: FeatureTable) -> FeatureTable:
+    """Vectorized ``movingConsistencyCheck`` (estimator.cpp:1965-2008):
+    mark features whose mean reprojection error exceeds 10px@460 or whose
+    3D relative error exceeds 2.0 as dynamic."""
+    t_wc, R_wc = ftab.cam_poses(x.P, x.Q, x.tic, x.qic)
+    s = t.start
+    pts_s = jnp.take_along_axis(t.pts, s[:, None, None], axis=1)[:, 0]
+    rays_s = jnp.concatenate([pts_s, jnp.ones_like(pts_s[:, :1])], axis=-1)
+    p_cam = rays_s * t.est_depth[:, None]
+    p_w = jnp.einsum("nij,nj->ni", R_wc[s], p_cam) + t_wc[s]
+
+    # project into every frame
+    p_in_j = jnp.einsum("fji,nj->nfi", R_wc, p_w) - jnp.einsum(
+        "fji,fj->fi", R_wc, t_wc
+    )[None]
+    z = p_in_j[..., 2]
+    proj = p_in_j[..., :2] / jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)[..., None]
+    obs = t.pts  # (MAXF, F, 2)
+    err2d = jnp.linalg.norm(proj - obs, axis=-1)
+    rays_obs = jnp.concatenate([obs, jnp.ones_like(obs[..., :1])], axis=-1)
+    err3d = jnp.linalg.norm(p_in_j - rays_obs, axis=-1) / jnp.maximum(
+        t.est_depth[:, None], 1e-6
+    )
+    cnt_mask = t.obs_mask & (jnp.arange(FRAMES)[None, :] != s[:, None])
+    n = jnp.maximum(jnp.sum(cnt_mask, axis=1), 1)
+    mean2d = jnp.sum(jnp.where(cnt_mask, err2d, 0.0), axis=1) / n
+    mean3d = jnp.sum(jnp.where(cnt_mask, err3d, 0.0), axis=1) / n
+    checked = (
+        ftab.active_rows(t) & (ftab.obs_count(t) >= 2)
+        & (t.start < WINDOW_SIZE - 2) & (t.est_depth > 0)
+        & (jnp.sum(cnt_mask, axis=1) > 0)
+    )
+    dynamic = checked & ((FOCAL_LENGTH * mean2d > 10.0) | (mean3d > 2.0))
+    is_dyn = jnp.where(checked, dynamic, t.is_dynamic)
+    return t._replace(is_dynamic=is_dyn)
+
+
+def _failure_flags(cfg: EstimatorConfig, st: EstimatorState, x_new: WindowState,
+                   last_track_num) -> jax.Array:
+    """failureDetection (estimator.cpp:1113-1159) — returns a bool."""
+    big_ba = jnp.linalg.norm(x_new.Ba[WINDOW_SIZE]) > 2.5
+    big_bg = jnp.linalg.norm(x_new.Bg[WINDOW_SIZE]) > 1.0
+    dp = x_new.P[WINDOW_SIZE] - st.last_P
+    big_t = jnp.linalg.norm(dp) > 5.0
+    big_z = jnp.abs(dp[2]) > 1.0
+    fail = big_ba | big_bg | big_t | big_z
+    if not cfg.use_imu:
+        fail = big_t | big_z
+    return fail
+
+
+def _slide(cfg: EstimatorConfig, st: EstimatorState, is_kf: jax.Array) -> EstimatorState:
+    """Window slide, both flavors under lax.cond (slideWindow,
+    estimator.cpp:1580-1716)."""
+    def old(st):
+        x0_t_wc, x0_R_wc = ftab.cam_poses(st.x.P, st.x.Q, st.x.tic, st.x.qic)
+        table = ftab.slide_old(
+            st.table, x0_t_wc[0], x0_R_wc[0], x0_t_wc[1], x0_R_wc[1]
+        )
+        x = marg.shift_state_old(st.x)
+
+        def roll(a):
+            out = jnp.roll(a, -1, axis=0)
+            return out.at[-1].set(jnp.zeros_like(a[-1]))
+
+        return st._replace(
+            x=x, table=table,
+            imu_dts=roll(st.imu_dts), imu_acc=roll(st.imu_acc), imu_gyr=roll(st.imu_gyr),
+        )
+
+    def new(st):
+        table = ftab.slide_new(st.table)
+        x = marg.shift_state_new(st.x)
+        # merge interval (8,9] + (9,10] into slot 9 (slideWindowNew merges
+        # preintegration buffers, estimator.cpp:1654-1680).  The merged
+        # sample list can exceed the fixed capacity (chained non-keyframes);
+        # rather than truncating (which silently drops integration time) we
+        # decimate 2:1 — pair-summed dts with every-other sample values —
+        # which preserves total time and low-frequency content.
+        maxi = cfg.max_imu
+        dtype = st.imu_dts.dtype
+        n9 = jnp.sum(st.imu_dts[WINDOW_SIZE - 1] > 0).astype(jnp.int32)
+        n10 = jnp.sum(st.imu_dts[WINDOW_SIZE] > 0).astype(jnp.int32)
+        # build double-capacity merged buffers
+        dts2 = jnp.zeros((2 * maxi,), dtype)
+        acc2 = jnp.zeros((2 * maxi + 1, 3), dtype)
+        gyr2 = jnp.zeros((2 * maxi + 1, 3), dtype)
+        dts2 = jax.lax.dynamic_update_slice(dts2, st.imu_dts[WINDOW_SIZE - 1], (0,))
+        acc2 = jax.lax.dynamic_update_slice(acc2, st.imu_acc[WINDOW_SIZE - 1], (0, 0))
+        gyr2 = jax.lax.dynamic_update_slice(gyr2, st.imu_gyr[WINDOW_SIZE - 1], (0, 0))
+        idx = jnp.arange(maxi)
+        tgt = n9 + idx
+        dts2 = dts2.at[tgt].set(st.imu_dts[WINDOW_SIZE], mode="drop")
+        tgt1 = n9 + 1 + idx
+        acc2 = acc2.at[tgt1].set(st.imu_acc[WINDOW_SIZE][1:], mode="drop")
+        gyr2 = gyr2.at[tgt1].set(st.imu_gyr[WINDOW_SIZE][1:], mode="drop")
+        total = n9 + n10
+        fits = total <= maxi
+
+        direct = (dts2[:maxi], acc2[: maxi + 1], gyr2[: maxi + 1])
+        dec_dts = dts2[0::2] + dts2[1::2]  # (maxi,)
+        dec_acc = jnp.concatenate([acc2[:1], acc2[2::2]], axis=0)  # (maxi+1,3)
+        dec_gyr = jnp.concatenate([gyr2[:1], gyr2[2::2]], axis=0)
+        decimated = (dec_dts, dec_acc, dec_gyr)
+        m_dts, m_acc, m_gyr = jax.tree.map(
+            lambda a, b: jnp.where(fits, a, b), direct, decimated
+        )
+
+        imu_dts = st.imu_dts.at[WINDOW_SIZE - 1].set(m_dts)
+        imu_acc = st.imu_acc.at[WINDOW_SIZE - 1].set(m_acc)
+        imu_gyr = st.imu_gyr.at[WINDOW_SIZE - 1].set(m_gyr)
+        imu_dts = imu_dts.at[WINDOW_SIZE].set(0.0)
+        return st._replace(x=x, table=table, imu_dts=imu_dts,
+                           imu_acc=imu_acc, imu_gyr=imu_gyr)
+
+    return jax.lax.cond(is_kf, old, new, st)
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+
+class StepOutput(NamedTuple):
+    P: jax.Array  # newest pose (pre-slide)
+    Q: jax.Array
+    V: jax.Array
+    is_keyframe: jax.Array
+    failure: jax.Array
+    cost: jax.Array
+    n_features: jax.Array
+    last_track_num: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fill_step(
+    cfg: EstimatorConfig,
+    st: EstimatorState,
+    frame_idx: jax.Array,  # scalar int32 in [0, WINDOW_SIZE]
+    feats: FrameFeatures,
+    imu: ImuInterval,
+) -> Tuple[EstimatorState, jax.Array]:
+    """Window-filling phase: store IMU, propagate, ingest, triangulate."""
+    st = _store_interval(st, frame_idx, imu)
+    if cfg.use_imu:
+        # first frame: gravity-align initial attitude (initFirstIMUPose)
+        q0 = init_ops.init_first_imu_pose(imu.acc, jnp.ones(imu.acc.shape[0], bool))
+        x = st.x
+        x_first = x._replace(Q=x.Q.at[0].set(q0))
+        x_prop = _propagate_newest(cfg, st, frame_idx)
+        x = jax.tree.map(
+            lambda a, b: jnp.where(frame_idx == 0, a, b), x_first, x_prop
+        )
+        st = st._replace(x=x)
+    else:
+        x = st.x
+        prev = jnp.maximum(frame_idx - 1, 0)
+        st = st._replace(x=x._replace(
+            P=x.P.at[frame_idx].set(x.P[prev]),
+            Q=x.Q.at[frame_idx].set(x.Q[prev]),
+        ))
+
+    table, is_kf, _ = ftab.ingest_frame(
+        st.table, frame_idx, feats, st.x.td, cfg.depth_min_dist, cfg.min_parallax
+    )
+    st = st._replace(table=table)
+    if cfg.static_init or not cfg.use_imu:
+        table = ftab.triangulate_with_depth(
+            st.table, st.x.P, st.x.Q, st.x.tic, st.x.qic,
+            cfg.depth_min_dist, cfg.depth_max_dist,
+        )
+        st = st._replace(table=table)
+    return st, is_kf
+
+
+def _solve_and_slide(
+    cfg: EstimatorConfig,
+    st: EstimatorState,
+    is_kf: jax.Array,
+    last_track_num: jax.Array,
+) -> Tuple[EstimatorState, StepOutput]:
+    """Shared tail: triangulate → solve → write-back → checks → marginalize
+    → slide.  Used by both ``init_full`` and ``vio_step``."""
+    dtype = st.x.P.dtype
+    g = cfg.gravity(dtype)
+
+    table = ftab.triangulate_with_depth(
+        st.table, st.x.P, st.x.Q, st.x.tic, st.x.qic,
+        cfg.depth_min_dist, cfg.depth_max_dist,
+    )
+    st = st._replace(table=table)
+
+    vis = _visual_data(cfg, st.table)
+    imu_data = _make_preints(cfg, st) if cfg.use_imu else None
+    td_free = (jnp.linalg.norm(st.x.V[0]) > 0.2).astype(dtype) if cfg.use_imu else None
+
+    res = slv.solve(cfg.solver, st.x, vis, imu_data, st.prior, g, td_free)
+    x_new = res.x
+    table = ftab.update_depths_from_solver(st.table, res.inv_depth, vis.depth_free)
+    table = _moving_consistency(cfg, x_new, table)
+
+    failure = _failure_flags(cfg, st, x_new, last_track_num)
+    st = st._replace(x=x_new, table=table)
+
+    # marginalization (at the optimized state, pre-slide)
+    vis_post = _visual_data(cfg, st.table)
+
+    def m_old(st):
+        imu_d = _make_preints(cfg, st) if cfg.use_imu else None
+        return marg.marginalize_old(cfg.solver, st.x, vis_post, imu_d, st.prior, g)
+
+    def m_new(st):
+        return marg.marginalize_new(cfg.solver, st.x, st.prior)
+
+    prior = jax.lax.cond(is_kf, m_old, m_new, st)
+    st = st._replace(prior=prior)
+
+    out = StepOutput(
+        P=x_new.P[WINDOW_SIZE], Q=x_new.Q[WINDOW_SIZE], V=x_new.V[WINDOW_SIZE],
+        is_keyframe=is_kf, failure=failure, cost=res.cost,
+        n_features=jnp.sum(vis.valid), last_track_num=last_track_num,
+    )
+    st = st._replace(last_P=x_new.P[WINDOW_SIZE], last_Q=x_new.Q[WINDOW_SIZE])
+    st = _slide(cfg, st, is_kf)
+    return st, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def init_full(cfg: EstimatorConfig, st: EstimatorState) -> Tuple[EstimatorState, StepOutput]:
+    """Initialization at window-full for the static-init / VO paths
+    (estimator.cpp:262-316): gyro-bias LS (+implicit repropagation), then
+    the standard solve/marginalize/slide tail.  The first frame is always
+    treated as a keyframe margin (MARGIN_OLD)."""
+    if cfg.use_imu:
+        pre0 = _make_preints(cfg, st)
+        dbg = init_ops.solve_gyroscope_bias(
+            pre0.pre.delta_q,
+            pre0.pre.jacobian[:, imupre.O_R:imupre.O_R + 3, imupre.O_BG:imupre.O_BG + 3],
+            st.x.Q, pre0.valid,
+        )
+        st = st._replace(x=st.x._replace(Bg=st.x.Bg + dbg[None, :]))
+    return _solve_and_slide(cfg, st, jnp.asarray(True), jnp.asarray(50))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vio_step(
+    cfg: EstimatorConfig,
+    st: EstimatorState,
+    feats: FrameFeatures,
+    imu: ImuInterval,
+    key: jax.Array,
+) -> Tuple[EstimatorState, StepOutput]:
+    """Steady-state NON_LINEAR per-frame program (the ``train_step`` analog)."""
+    j = jnp.asarray(WINDOW_SIZE, jnp.int32)
+    st = _store_interval(st, j, imu)
+    if cfg.use_imu:
+        st = st._replace(x=_propagate_newest(cfg, st, j))
+    else:
+        x = st.x
+        st = st._replace(x=x._replace(
+            P=x.P.at[j].set(x.P[j - 1]), Q=x.Q.at[j].set(x.Q[j - 1])
+        ))
+
+    table, is_kf, ltn = ftab.ingest_frame(
+        st.table, j, feats, st.x.td, cfg.depth_min_dist, cfg.min_parallax
+    )
+    st = st._replace(table=table)
+
+    if not cfg.use_imu:
+        st = st._replace(x=_pnp_newest(cfg, st, key))
+
+    return _solve_and_slide(cfg, st, is_kf, ltn)
+
+
+# ---------------------------------------------------------------------------
+# Host shell
+# ---------------------------------------------------------------------------
+
+
+class VinsEstimator:
+    """Host orchestration: sequencing, IMU pairing, phases, failure reset.
+
+    Replaces the nodelet's ``process`` thread + the Estimator's host-side
+    state machine; owns only genuinely sequential scalar state."""
+
+    INITIAL = 0
+    NON_LINEAR = 1
+
+    def __init__(self, vcfg: VinsConfig, dtype=jnp.float32,
+                 eager_outputs: bool = True, failure_check_interval: int = 1):
+        self.vcfg = vcfg
+        self.cfg = EstimatorConfig.from_vins(vcfg)
+        self.dtype = dtype
+        # eager_outputs=False defers ALL device->host reads (trajectory is
+        # accumulated as device arrays and fetched once) — essential when
+        # host readback is expensive (remote-tunnel TPUs: ~30 ms/sync)
+        self.eager_outputs = eager_outputs
+        self.failure_check_interval = failure_check_interval
+        self._imu_buf: list = []  # (t, acc(3,), gyr(3,)) host floats
+        self.prev_time: Optional[float] = None
+        self.reset()
+
+    def reset(self):
+        self.state = init_estimator_state(
+            self.cfg, self.vcfg.ric_matrix(), self.vcfg.tic_vector(),
+            self.vcfg.td, self.dtype,
+        )
+        self.frame_count = 0
+        self.solver_flag = self.INITIAL
+        self.headers = [0.0] * FRAMES
+        self._step = 0
+        self._td_cache = float(self.vcfg.td)
+        if not hasattr(self, "_pending"):
+            self._pending: list = []  # (t, StepOutput device handles)
+
+    # -- IMU ----------------------------------------------------------------
+    def push_imu(self, t: float, acc, gyr):
+        if self._imu_buf and t <= self._imu_buf[-1][0]:
+            return  # disordered sample dropped (estimator_nodelet.cpp:110-114)
+        self._imu_buf.append((float(t), np.asarray(acc, np.float64),
+                              np.asarray(gyr, np.float64)))
+
+    def imu_available(self, t: float) -> bool:
+        return bool(self._imu_buf) and self._imu_buf[-1][0] >= t
+
+    def _collect_interval(self, t0: float, t1: float) -> ImuInterval:
+        """Gather samples spanning (t0, t1] into the fixed buffer
+        (``getIMUInterval`` semantics incl. boundary handling)."""
+        maxi = self.cfg.max_imu
+        dts = np.zeros(maxi)
+        acc = np.zeros((maxi + 1, 3))
+        gyr = np.zeros((maxi + 1, 3))
+        buf = self._imu_buf
+        # drop samples at or before t0, keeping the last one as boundary
+        while len(buf) > 1 and buf[1][0] <= t0:
+            buf.pop(0)
+        if not buf:
+            return ImuInterval(jnp.asarray(dts, self.dtype),
+                               jnp.asarray(acc, self.dtype),
+                               jnp.asarray(gyr, self.dtype))
+        acc[0] = buf[0][1]
+        gyr[0] = buf[0][2]
+        t_prev = t0
+        k = 0
+        idx = 1
+        while idx < len(buf) and k < maxi:
+            ts, a, w = buf[idx]
+            if ts >= t1:
+                break
+            dts[k] = ts - t_prev
+            acc[k + 1] = a
+            gyr[k + 1] = w
+            t_prev = ts
+            k += 1
+            idx += 1
+        # final partial step to t1 using the next sample's values (the
+        # reference takes the first sample at/after t1)
+        if k < maxi and idx < len(buf):
+            ts, a, w = buf[idx]
+            dts[k] = t1 - t_prev
+            acc[k + 1] = a
+            gyr[k + 1] = w
+            k += 1
+        # replicate last sample into padding (harmless with dt=0)
+        if k > 0:
+            acc[k + 1:] = acc[k]
+            gyr[k + 1:] = gyr[k]
+        # consumed samples before t1 stay for the boundary of next interval
+        while len(buf) > 1 and buf[1][0] < t1:
+            buf.pop(0)
+        return ImuInterval(jnp.asarray(dts, self.dtype),
+                           jnp.asarray(acc, self.dtype),
+                           jnp.asarray(gyr, self.dtype))
+
+    # -- frames -------------------------------------------------------------
+    def process_features(self, feats: FrameFeatures, t: float) -> Optional[dict]:
+        """One backend step for a tracked feature frame at time t.
+
+        Returns odometry dict once the solver is NON_LINEAR (or during
+        late fill), else None."""
+        cfg = self.cfg
+        if cfg.estimate_td and self._step % max(self.failure_check_interval, 4) == 0:
+            self._td_cache = float(jax.device_get(self.state.x.td))
+        cur_time = t + self._td_cache
+        if cfg.use_imu:
+            imu = self._collect_interval(
+                self.prev_time if self.prev_time is not None else cur_time - 1e-3,
+                cur_time,
+            )
+        else:
+            imu = empty_interval(cfg, self.dtype)
+        self.prev_time = cur_time
+
+        out = None
+        if self.solver_flag == self.INITIAL:
+            self.state, is_kf = fill_step(
+                cfg, self.state, jnp.asarray(self.frame_count, jnp.int32), feats, imu
+            )
+            self.headers[self.frame_count] = t
+            if self.frame_count == WINDOW_SIZE:
+                self.state, step_out = init_full(cfg, self.state)
+                self.solver_flag = self.NON_LINEAR
+                out = self._emit(step_out, t)
+            else:
+                self.frame_count += 1
+        else:
+            key = jax.random.PRNGKey(self._step)
+            self.state, step_out = vio_step(cfg, self.state, feats, imu, key)
+            self.headers = self.headers[1:] + [t]
+            # failure detection sync is amortized: scalar readback is
+            # expensive on tunneled devices (estimator.cpp:345-353 reboots
+            # synchronously; a few frames of latency is benign)
+            if self._step % self.failure_check_interval == 0:
+                if bool(jax.device_get(step_out.failure)):
+                    self.reset()
+                    self.prev_time = None
+                    return None
+            out = self._emit(step_out, t)
+        self._step += 1
+        return out
+
+    def _emit(self, step_out: StepOutput, t: float):
+        self._pending.append((t, step_out))
+        if self.eager_outputs:
+            return self._materialize(t, step_out)
+        return step_out
+
+    @staticmethod
+    def _materialize(t: float, step_out: StepOutput) -> dict:
+        return dict(
+            t=t,
+            P=np.asarray(jax.device_get(step_out.P)),
+            Q=np.asarray(jax.device_get(step_out.Q)),
+            V=np.asarray(jax.device_get(step_out.V)),
+            is_keyframe=bool(jax.device_get(step_out.is_keyframe)),
+            cost=float(jax.device_get(step_out.cost)),
+            n_features=int(jax.device_get(step_out.n_features)),
+        )
+
+    @property
+    def trajectory(self) -> list:
+        """Materialized odometry records; one batched device fetch."""
+        if not self._pending:
+            return []
+        ts = [t for t, _ in self._pending]
+        outs = [o for _, o in self._pending]
+        stacked = jax.tree.map(lambda *a: jnp.stack(a), *outs)
+        host = jax.device_get(stacked)
+        recs = []
+        for i, t in enumerate(ts):
+            recs.append(dict(
+                t=t, P=np.asarray(host.P[i]), Q=np.asarray(host.Q[i]),
+                V=np.asarray(host.V[i]),
+                is_keyframe=bool(host.is_keyframe[i]),
+                cost=float(host.cost[i]),
+                n_features=int(host.n_features[i]),
+            ))
+        return recs

@@ -1,0 +1,89 @@
+"""BRIEF-256 descriptors + Hamming matching as MXU matmuls.
+
+Replaces the reference's DVision::BRIEF (256 smoothed-patch intensity
+comparisons with an imported test-pair pattern,
+``/root/reference/pose_graph/src/ThirdParty/DVision/BRIEF.{h,cpp}``) and
+its brute-force Hamming search (``keyframe.cpp:126-169``, threshold 80).
+
+TPU-native design:
+  * the test pattern is generated deterministically (isotropic Gaussian
+    pairs, the original BRIEF paper's GII layout) — byte parity with the
+    reference's pattern file is NOT required because the reference's
+    vocabulary blob is absent and retrieval is re-designed (see
+    keyframe_db.py);
+  * descriptors for all keypoints of a frame are computed in one batched
+    gather pass over the smoothed image;
+  * Hamming distance D(a,b) = (256 − a±1·b±1)/2 — one int8 matmul on the
+    MXU instead of popcount loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.image import bilinear_sample
+
+N_BITS = 256
+PATCH_HALF = 24  # 48x48 sampling window like the reference pattern's extent
+
+
+def make_pattern(seed: int = 7) -> np.ndarray:
+    """(256, 4) int offsets (x1, y1, x2, y2), Gaussian pairs clipped to the
+    patch window."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, PATCH_HALF / 2.5, size=(N_BITS, 4))
+    return np.clip(np.round(pts), -PATCH_HALF + 1, PATCH_HALF - 1).astype(np.int32)
+
+
+_PATTERN = jnp.asarray(make_pattern())
+
+
+def smooth(img: jax.Array) -> jax.Array:
+    """Box-blur the image (the reference smooths with a Gaussian before
+    sampling pairs); a 5x5 box is an adequate low-pass here."""
+    k = jnp.ones((5, 5), img.dtype) / 25.0
+    return jax.lax.conv_general_dilated(
+        img[None, None], k[None, None], (1, 1), "SAME"
+    )[0, 0]
+
+
+@jax.jit
+def compute_descriptors(img: jax.Array, uv: jax.Array, valid: jax.Array) -> jax.Array:
+    """BRIEF bits for keypoints uv (N,2) -> int8 ±1 matrix (N, 256).
+
+    Invalid keypoints get all-zero rows (distance-neutral under matmul
+    scoring)."""
+    s = smooth(img)
+
+    def one(p, ok):
+        a = bilinear_sample(s, p[None, :] + _PATTERN[:, 0:2].astype(s.dtype))
+        b = bilinear_sample(s, p[None, :] + _PATTERN[:, 2:4].astype(s.dtype))
+        bits = jnp.where(a < b, 1, -1).astype(jnp.int8)
+        return jnp.where(ok, bits, 0)
+
+    return jax.vmap(one)(uv, valid)
+
+
+def hamming_matrix(da: jax.Array, db: jax.Array) -> jax.Array:
+    """Pairwise Hamming distances between ±1 int8 descriptor sets
+    (Na,256)x(Nb,256) -> (Na,Nb) float32.  Zero rows map to distance 128."""
+    sim = jnp.matmul(
+        da.astype(jnp.float32), db.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    return (N_BITS - sim) * 0.5
+
+
+def match(da, db, valid_a, valid_b, max_dist: float = 80.0):
+    """Best-match per row with the reference's acceptance threshold
+    (searchInAera Hamming < 80).  Returns (idx_b (Na,), ok (Na,))."""
+    D = hamming_matrix(da, db)
+    D = jnp.where(valid_b[None, :], D, jnp.inf)
+    idx = jnp.argmin(D, axis=1)
+    best = jnp.min(D, axis=1)
+    ok = valid_a & (best < max_dist) & jnp.isfinite(best)
+    return idx, ok

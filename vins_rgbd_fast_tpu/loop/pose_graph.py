@@ -1,0 +1,538 @@
+"""Loop closure + pose graph (layer L7).
+
+Re-designs the reference's ``pose_graph`` package
+(``/root/reference/pose_graph/src/pose_graph/pose_graph.{h,cpp}``,
+``keyframe/keyframe.{h,cpp}``):
+
+  * keyframe store: fixed-capacity device arrays (descriptors int8 ±1,
+    keypoints, window points, vio/corrected poses, sequence ids) instead of
+    a mutex-guarded ``list<KeyFrame*>``;
+  * place recognition: the DBoW2 inverted-file over the *missing*
+    ``brief_k10L6.bin`` vocabulary blob is replaced by brute-force
+    descriptor-set similarity on the MXU — one batched Hamming matmul
+    against every stored keyframe (behaviorally: top-candidate retrieval
+    with 50-frame recency exclusion and a two-peak acceptance test like
+    ``detectLoop``'s 0.05/0.015 double threshold, ``pose_graph.cpp:308-393``);
+  * geometric verification: Hamming matching (<80) + PnP-RANSAC with the
+    reference's acceptance gates (>25 inliers, |Δyaw|<30°, ‖Δt‖<20 m,
+    ``keyframe.cpp:483-524``, ``keyframe.h:16``);
+  * optimize4DoF: yaw+translation graph over sequential (4-predecessor) +
+    loop edges, Huber(0.1), 5 LM iterations, first-looped-frame fixed
+    (``pose_graph.cpp:410-581``) — batched into one dense LM program;
+  * drift composition (yaw-only r_drift + t_drift) applied to later
+    keyframes and live VIO poses (:552-575);
+  * save/load (npz) replacing the per-KF txt dump (:849-1047).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import CameraModel
+from ..ops import fast as fast_ops
+from ..ops import ransac as ransac_ops
+from ..utils import quaternion as quat
+from . import brief
+
+MIN_LOOP_NUM = 25  # keyframe.h:16
+LOOP_YAW_MAX = 30.0
+LOOP_T_MAX = 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    max_keyframes: int = 512
+    max_kp: int = 192  # FAST-20 retrieval keypoints per keyframe
+    max_wp: int = 96  # VIO window points per keyframe
+    max_loops: int = 64
+    fast_threshold: float = 20.0  # keyframe.cpp FAST thresh 20
+    match_thresh: float = 80.0
+    score_dist: float = 60.0  # Hamming radius counted as a "word hit"
+    score_best: float = 0.14  # analog of detectLoop's 0.05 on DBoW score
+    score_second: float = 0.05  # analog of 0.015 two-peak test
+    pg_iters: int = 5
+    huber: float = 0.1
+    recency_exclusion: int = 50  # detectLoop skips the last 50 keyframes
+    min_loop_num: int = MIN_LOOP_NUM
+
+
+class KeyFrameData(NamedTuple):
+    """Everything the pose graph stores per keyframe (host-side numpy)."""
+
+    index: int
+    t: float
+    sequence: int
+    P_vio: np.ndarray  # (3,)
+    Q_vio: np.ndarray  # (4,)
+    kp_uv: np.ndarray  # (max_kp, 2)
+    kp_norm: np.ndarray  # (max_kp, 2)
+    kp_valid: np.ndarray  # (max_kp,)
+    kp_desc: np.ndarray  # (max_kp, 256) int8
+    wp_world: np.ndarray  # (max_wp, 3) window landmark positions
+    wp_norm: np.ndarray  # (max_wp, 2) normalized obs in this kf
+    wp_valid: np.ndarray  # (max_wp,)
+    wp_desc: np.ndarray  # (max_wp, 256) int8
+
+
+def extract_keyframe_features(
+    cfg: PoseGraphConfig,
+    cam: CameraModel,
+    img: jax.Array,
+    wp_world: np.ndarray,
+    wp_uv: np.ndarray,
+    wp_valid: np.ndarray,
+):
+    """Device part of KeyFrame construction (``keyframe.cpp:80-119``):
+    fresh FAST-20 keypoints + BRIEF for retrieval, BRIEF on the VIO window
+    points for matching."""
+    score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
+    H, W = img.shape
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, cfg.max_kp)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    kp_uv = jnp.stack([xs, ys], axis=-1)
+    kp_valid = vals > 0
+    kp_desc = brief.compute_descriptors(img, kp_uv, kp_valid)
+    rays = cam.lift(kp_uv)
+    kp_norm = rays[:, :2]
+
+    wp_uv_j = jnp.asarray(wp_uv, img.dtype)
+    wp_val_j = jnp.asarray(wp_valid)
+    wp_desc = brief.compute_descriptors(img, wp_uv_j, wp_val_j)
+    return (
+        np.asarray(kp_uv), np.asarray(kp_norm), np.asarray(kp_valid),
+        np.asarray(kp_desc), np.asarray(wp_desc),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4-DoF pose graph optimization (batched LM)
+# ---------------------------------------------------------------------------
+
+
+def _ypr_R(yaw_deg, pitch_deg, roll_deg):
+    return quat.ypr2R(jnp.stack([yaw_deg, pitch_deg, roll_deg], axis=-1))
+
+
+def _edge_residual(yaw_i, t_i, yaw_j, t_j, meas):
+    """FourDOF(Weight)Error residual (pose_graph.h:168-254): relative
+    translation expressed in frame i via yaw_i + fixed pitch/roll, yaw
+    difference wrapped, loop edges' yaw row scaled by 1/10."""
+    rel_t, rel_yaw, pitch_i, roll_i, yaw_w = meas
+    R_i = _ypr_R(yaw_i, pitch_i, roll_i)
+    t_ij = R_i.T @ (t_j - t_i)
+    r_t = t_ij - rel_t
+    r_y = quat.normalize_angle_deg(yaw_j - yaw_i - rel_yaw) * yaw_w
+    return jnp.concatenate([r_t, r_y[None]])
+
+
+@partial(jax.jit, static_argnames=("n_nodes_static", "iters"))
+def optimize_4dof(
+    yaw0: jax.Array,  # (K,) degrees (VIO)
+    t0: jax.Array,  # (K,3)
+    pitch: jax.Array,  # (K,) fixed VIO pitch
+    roll: jax.Array,  # (K,)
+    node_valid: jax.Array,  # (K,)
+    node_fixed: jax.Array,  # (K,)
+    edge_i: jax.Array,  # (E,) int32
+    edge_j: jax.Array,  # (E,)
+    edge_rel_t: jax.Array,  # (E,3)
+    edge_rel_yaw: jax.Array,  # (E,)
+    edge_weight: jax.Array,  # (E,) 1 for sequential, loop uses yaw/10 + huber
+    edge_is_loop: jax.Array,  # (E,)
+    edge_valid: jax.Array,  # (E,)
+    n_nodes_static: int,
+    iters: int = 5,
+    huber: float = 0.1,
+):
+    """Dense LM over (yaw, t) per node. Node-i params at [4i, 4i+4)."""
+    K = n_nodes_static
+    NPAR = 4 * K
+    dtype = t0.dtype
+
+    def residuals_and_rows(yaw, t):
+        def one(ei, ej, rel_t, rel_yaw, w, is_loop, ok):
+            yi, ti = yaw[ei], t[ei]
+            yj, tj = yaw[ej], t[ej]
+            yaw_w = jnp.where(is_loop, 1.0 / 10.0, 1.0)
+            meas = (rel_t, rel_yaw, pitch[ei], roll[ei], yaw_w)
+
+            def local(d):
+                return _edge_residual(
+                    yi + d[0], ti + d[1:4], yj + d[4], tj + d[5:8], meas
+                )
+
+            z = jnp.zeros(8, dtype)
+            r = local(z)
+            Jl = jax.jacfwd(local)(z)
+            # Huber on loop edges (reference HuberLoss(0.1))
+            s = jnp.sum(r * r)
+            hw = jnp.where(
+                is_loop & (s > huber * huber),
+                jnp.sqrt(huber / jnp.maximum(jnp.sqrt(s), 1e-12)),
+                1.0,
+            )
+            r = jnp.where(ok, r * hw, 0.0)
+            Jl = jnp.where(ok, Jl * hw, 0.0)
+            row = jnp.zeros((4, NPAR), dtype)
+            zero = jnp.asarray(0, jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, Jl[:, 0:4], (zero, 4 * ei))
+            row = jax.lax.dynamic_update_slice(row, Jl[:, 4:8], (zero, 4 * ej))
+            return r, row
+
+        r, rows = jax.vmap(one)(
+            edge_i, edge_j, edge_rel_t, edge_rel_yaw, edge_weight,
+            edge_is_loop, edge_valid,
+        )
+        return r.reshape(-1), rows.reshape(-1, NPAR)
+
+    free = (node_valid & ~node_fixed).astype(dtype)
+    fm = jnp.repeat(free, 4)
+
+    def step(carry, _):
+        yaw, t, lm, cost = carry
+        r, J = residuals_and_rows(yaw, t)
+        J = J * fm[None, :]
+        H = J.T @ J
+        g = J.T @ r
+        damp = lm * jnp.maximum(jnp.diagonal(H), 1e-6) + (1.0 - fm)
+        L = jnp.linalg.cholesky(H + jnp.diag(damp))
+        dx = -jax.scipy.linalg.cho_solve((L, True), g) * fm
+        d = dx.reshape(K, 4)
+        yaw_n = quat.normalize_angle_deg(yaw + d[:, 0])
+        t_n = t + d[:, 1:4]
+        r_n, _ = residuals_and_rows(yaw_n, t_n)
+        new_cost = 0.5 * jnp.sum(r_n * r_n)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        yaw = jnp.where(accept, yaw_n, yaw)
+        t = jnp.where(accept, t_n, t)
+        lm = jnp.where(accept, lm * 0.3, lm * 5.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return (yaw, t, lm, cost), None
+
+    r0, _ = residuals_and_rows(yaw0, t0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+    (yaw, t, _, cost), _ = jax.lax.scan(
+        step, (yaw0, t0, jnp.asarray(1e-4, dtype), cost0), None, length=iters
+    )
+    return yaw, t, cost0, cost
+
+
+# ---------------------------------------------------------------------------
+# PoseGraph host class
+# ---------------------------------------------------------------------------
+
+
+class PoseGraph:
+    """Host orchestration of keyframes, retrieval, loops, and optimization."""
+
+    def __init__(self, cfg: PoseGraphConfig, cam: CameraModel,
+                 ric: np.ndarray, tic: np.ndarray):
+        self.cfg = cfg
+        self.cam = cam
+        self.ric = np.asarray(ric)
+        self.tic = np.asarray(tic)
+        self.keyframes: list = []  # KeyFrameData
+        self.desc_db: Optional[np.ndarray] = None  # (K, max_kp, 256) int8
+        self.loops: list = []  # dict(cur, old, rel_t, rel_yaw)
+        self.earliest_loop_index: Optional[int] = None
+        self.sequence = 1
+        # drift: corrected = r_drift @ vio + t_drift (yaw-only rotation)
+        self.yaw_drift = 0.0
+        self.t_drift = np.zeros(3)
+        self.corrected: dict = {}  # index -> (P, Q) optimized poses
+
+    # ------------------------------------------------------------------
+    def _r_drift(self) -> np.ndarray:
+        return np.asarray(quat.yaw_R(jnp.asarray(self.yaw_drift)))
+
+    def apply_drift(self, P: np.ndarray, Q: np.ndarray):
+        """Correct a live VIO pose by the current drift (the nodelet's
+        odometry correction path, pose_graph_nodelet.cpp:358-434)."""
+        R = self._r_drift()
+        P2 = R @ np.asarray(P) + self.t_drift
+        Q2 = np.asarray(quat.qmul(quat.R2q(jnp.asarray(R)), jnp.asarray(Q)))
+        return P2, Q2
+
+    def new_sequence(self):
+        """Stream discontinuity: start a new sequence (max 5 in the
+        reference, pose_graph_nodelet.cpp:231-252)."""
+        self.sequence += 1
+
+    # ------------------------------------------------------------------
+    def add_keyframe(self, img, t: float, P_vio, Q_vio,
+                     wp_world, wp_uv, wp_norm, wp_valid,
+                     detect_loop: bool = True) -> Optional[dict]:
+        """Build a keyframe, query for loops, optionally optimize.
+
+        Returns loop info dict if a loop was accepted."""
+        cfg = self.cfg
+        idx = len(self.keyframes)
+        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = extract_keyframe_features(
+            cfg, self.cam, jnp.asarray(img), wp_world, wp_uv, wp_valid
+        )
+        kf = KeyFrameData(
+            index=idx, t=t, sequence=self.sequence,
+            P_vio=np.asarray(P_vio), Q_vio=np.asarray(Q_vio),
+            kp_uv=kp_uv, kp_norm=kp_norm, kp_valid=kp_valid,
+            kp_desc=kp_desc,
+            wp_world=np.asarray(wp_world), wp_norm=np.asarray(wp_norm),
+            wp_valid=np.asarray(wp_valid), wp_desc=wp_desc,
+        )
+
+        loop_info = None
+        if detect_loop and idx > self.cfg.recency_exclusion:
+            cand = self._detect_loop(kf)
+            if cand is not None:
+                loop_info = self._find_connection(kf, self.keyframes[cand])
+                if loop_info is not None:
+                    self.loops.append(loop_info)
+                    if self.earliest_loop_index is None or cand < self.earliest_loop_index:
+                        self.earliest_loop_index = cand
+        self.keyframes.append(kf)
+        if self.desc_db is None:
+            self.desc_db = kf.kp_desc[None]
+        else:
+            self.desc_db = np.concatenate([self.desc_db, kf.kp_desc[None]], axis=0)
+        if loop_info is not None:
+            self.optimize()
+        else:
+            # keep the corrected trajectory extended with current drift
+            self.corrected[idx] = self.apply_drift(kf.P_vio, kf.Q_vio)
+        return loop_info
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf: KeyFrameData) -> Optional[int]:
+        """Brute-force descriptor-set retrieval with the reference's
+        shape: exclude recent 50, double-threshold acceptance, earliest
+        candidate wins (``detectLoop``)."""
+        cfg = self.cfg
+        n_old = len(self.keyframes) - self.cfg.recency_exclusion
+        if n_old <= 0:
+            return None
+        db = jnp.asarray(self.desc_db[:n_old])  # (K, max_kp, 256)
+        q = jnp.asarray(kf.kp_desc)
+
+        D = brief.hamming_matrix(q, db.reshape(-1, brief.N_BITS))
+        D = D.reshape(q.shape[0], n_old, -1)
+        q_valid = jnp.asarray(kf.kp_valid)
+        minham = jnp.min(
+            jnp.where(jnp.any(jnp.asarray(self.desc_db[:n_old]) != 0, axis=-1)[None],
+                      D, jnp.inf),
+            axis=2,
+        )  # (Nq, K)
+        hits = (minham < cfg.score_dist) & q_valid[:, None]
+        scores = np.asarray(jnp.sum(hits, axis=0) / jnp.maximum(jnp.sum(q_valid), 1))
+
+        order = np.argsort(-scores)
+        best = order[0]
+        if scores[best] < cfg.score_best:
+            return None
+        # two-peak test: another (non-adjacent) candidate must also score
+        good = [int(i) for i in order[1:4] if scores[i] > cfg.score_second]
+        if not good:
+            return None
+        cands = [int(best)] + good
+        return min(cands)  # earliest index (reference takes min index)
+
+    # ------------------------------------------------------------------
+    def _find_connection(self, cur: KeyFrameData, old: KeyFrameData) -> Optional[dict]:
+        """Hamming match + PnP-RANSAC + acceptance gates
+        (``KeyFrame::findConnection``)."""
+        cfg = self.cfg
+        idx_b, ok = brief.match(
+            jnp.asarray(cur.wp_desc), jnp.asarray(old.kp_desc),
+            jnp.asarray(cur.wp_valid), jnp.asarray(old.kp_valid),
+            max_dist=cfg.match_thresh,
+        )
+        ok_np = np.asarray(ok)
+        if ok_np.sum() < cfg.min_loop_num:
+            return None
+        matched_old_norm = old.kp_norm[np.asarray(idx_b)]
+        # initial guess: the old keyframe's VIO pose (world -> old cam), as
+        # the reference seeds its iterative PnP (keyframe.cpp:226-240)
+        R_wi = np.asarray(quat.q2R(jnp.asarray(old.Q_vio)))
+        R_wc = R_wi @ self.ric
+        t_wc = old.P_vio + R_wi @ self.tic
+        R_init = R_wc.T
+        t_init = -R_wc.T @ t_wc
+        res = ransac_ops.pnp_ransac_guess(
+            jax.random.PRNGKey(cur.index),
+            jnp.asarray(cur.wp_world),
+            jnp.asarray(matched_old_norm),
+            ok,
+            jnp.asarray(R_init), jnp.asarray(t_init),
+            threshold=10.0 / 460.0,
+            min_inliers=cfg.min_loop_num,
+        )
+        if not bool(res.ok):
+            return None
+        M = np.asarray(res.model)
+        R_cw, t_cw = M[:, :3], M[:, 3]  # world -> old cam
+        R_w_oldcam = R_cw.T
+        t_w_oldcam = -R_cw.T @ t_cw
+        # cam -> imu
+        R_w_oldimu = R_w_oldcam @ self.ric.T
+        t_w_oldimu = t_w_oldcam - R_w_oldimu @ self.tic
+        # relative pose old->cur in old frame (keyframe.cpp:483-495)
+        rel_t = R_w_oldimu.T @ (cur.P_vio - t_w_oldimu)
+        yaw_cur = float(np.asarray(quat.R2ypr(quat.q2R(jnp.asarray(cur.Q_vio))))[0])
+        yaw_old = float(np.asarray(quat.R2ypr(jnp.asarray(R_w_oldimu)))[0])
+        rel_yaw = float(np.asarray(quat.normalize_angle_deg(
+            jnp.asarray(yaw_cur - yaw_old))))
+        if abs(rel_yaw) >= LOOP_YAW_MAX or np.linalg.norm(rel_t) >= LOOP_T_MAX:
+            return None
+        return dict(
+            cur=cur.index, old=old.index,
+            rel_t=rel_t, rel_yaw=rel_yaw,
+            n_inliers=int(res.n_inliers),
+            matched_old_norm=matched_old_norm,
+            inlier_mask=np.asarray(res.inliers),
+        )
+
+    # ------------------------------------------------------------------
+    def optimize(self):
+        """4-DoF PGO from the earliest looped frame (``optimize4DoF``),
+        then drift update + propagation to later keyframes."""
+        if self.earliest_loop_index is None or not self.loops:
+            return
+        cfg = self.cfg
+        first = self.earliest_loop_index
+        kfs = [k for k in self.keyframes if k.index >= first]
+        K = len(kfs)
+        if K < 2:
+            return
+        Kpad = min(max(K, 8), cfg.max_keyframes)
+        # node arrays
+        yaw = np.zeros(Kpad)
+        tt = np.zeros((Kpad, 3))
+        pitch = np.zeros(Kpad)
+        roll = np.zeros(Kpad)
+        valid = np.zeros(Kpad, bool)
+        fixed = np.zeros(Kpad, bool)
+        local = {}
+        for li, kf in enumerate(kfs[:Kpad]):
+            ypr = np.asarray(quat.R2ypr(quat.q2R(jnp.asarray(kf.Q_vio))))
+            yaw[li], pitch[li], roll[li] = ypr
+            tt[li] = kf.P_vio
+            valid[li] = True
+            fixed[li] = kf.index == first or kf.sequence == 0
+            local[kf.index] = li
+
+        # sequential edges: i connects to up to 4 predecessors (same seq)
+        e_i, e_j, e_rt, e_ry, e_loop, e_val = [], [], [], [], [], []
+        for li in range(1, min(K, Kpad)):
+            for back in range(1, 5):
+                lj = li - back
+                if lj < 0 or kfs[lj].sequence != kfs[li].sequence:
+                    continue
+                R_j = np.asarray(quat.q2R(jnp.asarray(kfs[lj].Q_vio)))
+                rel_t = R_j.T @ (tt[li] - tt[lj])
+                rel_yaw = yaw[li] - yaw[lj]
+                e_i.append(lj); e_j.append(li)
+                e_rt.append(rel_t); e_ry.append(rel_yaw)
+                e_loop.append(False); e_val.append(True)
+        for lp in self.loops:
+            if lp["old"] < first or lp["cur"] not in local or lp["old"] not in local:
+                continue
+            e_i.append(local[lp["old"]]); e_j.append(local[lp["cur"]])
+            e_rt.append(lp["rel_t"]); e_ry.append(lp["rel_yaw"])
+            e_loop.append(True); e_val.append(True)
+
+        E = len(e_i)
+        if E == 0:
+            return
+        yaw_o, t_o, c0, c1 = optimize_4dof(
+            jnp.asarray(yaw), jnp.asarray(tt), jnp.asarray(pitch),
+            jnp.asarray(roll), jnp.asarray(valid), jnp.asarray(fixed),
+            jnp.asarray(e_i, jnp.int32), jnp.asarray(e_j, jnp.int32),
+            jnp.asarray(np.asarray(e_rt)), jnp.asarray(e_ry),
+            jnp.ones(E), jnp.asarray(e_loop), jnp.asarray(e_val),
+            n_nodes_static=Kpad, iters=cfg.pg_iters, huber=cfg.huber,
+        )
+        yaw_o = np.asarray(yaw_o)
+        t_o = np.asarray(t_o)
+
+        # write back corrected poses
+        for li, kf in enumerate(kfs[:Kpad]):
+            R = np.asarray(quat.ypr2R(jnp.asarray([yaw_o[li], pitch[li], roll[li]])))
+            self.corrected[kf.index] = (
+                t_o[li], np.asarray(quat.R2q(jnp.asarray(R)))
+            )
+        # drift from the last optimized keyframe (pose_graph.cpp:552-560)
+        cur_kf = kfs[min(K, Kpad) - 1]
+        li = min(K, Kpad) - 1
+        yaw_vio = yaw[li]
+        self.yaw_drift = float(np.asarray(quat.normalize_angle_deg(
+            jnp.asarray(yaw_o[li] - yaw_vio))))
+        Rd = self._r_drift()
+        self.t_drift = t_o[li] - Rd @ cur_kf.P_vio
+        # propagate drift to keyframes after the optimized set
+        for kf in self.keyframes:
+            if kf.index > cur_kf.index:
+                self.corrected[kf.index] = self.apply_drift(kf.P_vio, kf.Q_vio)
+
+    # ------------------------------------------------------------------
+    def path(self) -> list:
+        """Corrected trajectory [(t, P, Q)] for all keyframes."""
+        out = []
+        for kf in self.keyframes:
+            P, Q = self.corrected.get(kf.index, (kf.P_vio, kf.Q_vio))
+            out.append((kf.t, np.asarray(P), np.asarray(Q)))
+        return out
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Persist the pose graph (reference ``savePoseGraph``)."""
+        np.savez_compressed(
+            path,
+            n=len(self.keyframes),
+            index=np.asarray([k.index for k in self.keyframes]),
+            t=np.asarray([k.t for k in self.keyframes]),
+            sequence=np.asarray([k.sequence for k in self.keyframes]),
+            P_vio=np.stack([k.P_vio for k in self.keyframes]) if self.keyframes else np.zeros((0, 3)),
+            Q_vio=np.stack([k.Q_vio for k in self.keyframes]) if self.keyframes else np.zeros((0, 4)),
+            kp_uv=np.stack([k.kp_uv for k in self.keyframes]) if self.keyframes else np.zeros((0, 0, 2)),
+            kp_norm=np.stack([k.kp_norm for k in self.keyframes]) if self.keyframes else np.zeros((0, 0, 2)),
+            kp_valid=np.stack([k.kp_valid for k in self.keyframes]) if self.keyframes else np.zeros((0, 0)),
+            kp_desc=np.stack([k.kp_desc for k in self.keyframes]) if self.keyframes else np.zeros((0, 0, 256)),
+            loops=np.asarray(
+                [[lp["cur"], lp["old"], lp["rel_yaw"], *lp["rel_t"]] for lp in self.loops]
+            ) if self.loops else np.zeros((0, 6)),
+            yaw_drift=self.yaw_drift,
+            t_drift=self.t_drift,
+        )
+
+    def load(self, path: str):
+        """Rebuild keyframes + retrieval DB from disk (``loadPoseGraph``);
+        loaded keyframes join as sequence 0 (held fixed in optimization,
+        like the reference's base sequence)."""
+        data = np.load(path)
+        n = int(data["n"])
+        for i in range(n):
+            kf = KeyFrameData(
+                index=len(self.keyframes), t=float(data["t"][i]),
+                sequence=0,
+                P_vio=data["P_vio"][i], Q_vio=data["Q_vio"][i],
+                kp_uv=data["kp_uv"][i], kp_norm=data["kp_norm"][i],
+                kp_valid=data["kp_valid"][i].astype(bool),
+                kp_desc=data["kp_desc"][i].astype(np.int8),
+                wp_world=np.zeros((self.cfg.max_wp, 3)),
+                wp_norm=np.zeros((self.cfg.max_wp, 2)),
+                wp_valid=np.zeros(self.cfg.max_wp, bool),
+                wp_desc=np.zeros((self.cfg.max_wp, 256), np.int8),
+            )
+            self.keyframes.append(kf)
+            if self.desc_db is None:
+                self.desc_db = kf.kp_desc[None]
+            else:
+                self.desc_db = np.concatenate([self.desc_db, kf.kp_desc[None]], 0)
+        self.yaw_drift = float(data["yaw_drift"])
+        self.t_drift = np.asarray(data["t_drift"])

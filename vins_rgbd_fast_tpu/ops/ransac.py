@@ -167,6 +167,86 @@ def _reproj_err_norm(R, t, Pw, uv):
     return jnp.where(behind, 1e6, e)
 
 
+def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10):
+    """Weighted Gauss-Newton pose refinement from an initial guess.
+
+    Minimizes Σ w‖π(R·Pw + t) − uv‖² over (δθ, δt) with R ← exp(δθ)·R.
+    Handles planar point sets (where DLT degenerates) — this mirrors the
+    reference's use of OpenCV's *iterative* PnP seeded with a pose guess
+    (``keyframe.cpp:195-249``, ``feature_manager.cpp:560-588``)."""
+    dtype = Pw.dtype
+
+    def body(carry, _):
+        R, t = carry
+
+        def resid(d):
+            Rn = quat.q2R(quat.so3_exp(d[0:3])) @ R
+            tn = t + d[3:6]
+            pc = Pw @ Rn.T + tn
+            z = jnp.where(jnp.abs(pc[:, 2]) > 1e-6, pc[:, 2], 1e-6)
+            r = pc[:, :2] / z[:, None] - uv
+            return (r * w[:, None]).reshape(-1)
+
+        z6 = jnp.zeros(6, dtype)
+        r = resid(z6)
+        J = jax.jacfwd(resid)(z6)
+        H = J.T @ J + 1e-8 * jnp.eye(6, dtype=dtype)
+        d = -jnp.linalg.solve(H, J.T @ r)
+        # guard: reject non-finite updates
+        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        Rn = quat.q2R(quat.so3_exp(d[0:3])) @ R
+        tn = t + d[3:6]
+        return (Rn, tn), None
+
+    (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=iters)
+    return R, t
+
+
+@partial(jax.jit, static_argnames=("n_trials", "refine_iters"))
+def pnp_ransac_guess(
+    key: jax.Array,
+    Pw: jax.Array,  # (N,3) world points
+    uv: jax.Array,  # (N,2) normalized-plane observations
+    valid: jax.Array,  # (N,)
+    R_init: jax.Array,  # (3,3) world->cam initial rotation
+    t_init: jax.Array,  # (3,)
+    threshold: float = 10.0 / 460.0,
+    n_trials: int = 32,
+    min_inliers: int = 10,
+    refine_iters: int = 8,
+) -> RansacResult:
+    """RANSAC around Gauss-Newton refinement from an initial pose guess:
+    each trial refines on a random 8-subset, inliers are counted on all
+    points, and the best model is re-refined on its inlier set (the
+    reference's solvePnPRansac-with-guess behavior)."""
+    dtype = Pw.dtype
+    subsets = _random_subsets(key, valid, n_trials, 8)
+
+    def one_trial(idx):
+        w = jnp.zeros(Pw.shape[0], dtype).at[idx].set(1.0) * valid.astype(dtype)
+        R, t = _pnp_gn(Pw, uv, w, R_init, t_init, iters=refine_iters)
+        e = _reproj_err_norm(R, t, Pw, uv)
+        inl = (e < threshold) & valid
+        return jnp.sum(inl), jnp.concatenate([R, t[:, None]], axis=-1)
+
+    counts, models = jax.vmap(one_trial)(subsets)
+    best = jnp.argmax(counts)
+    M = models[best]
+    e = _reproj_err_norm(M[:, :3], M[:, 3], Pw, uv)
+    inliers0 = (e < threshold) & valid
+    # final polish on all inliers
+    R, t = _pnp_gn(Pw, uv, inliers0.astype(dtype), M[:, :3], M[:, 3],
+                   iters=refine_iters)
+    e = _reproj_err_norm(R, t, Pw, uv)
+    inliers = (e < threshold) & valid
+    n_in = jnp.sum(inliers)
+    ok = n_in >= min_inliers
+    return RansacResult(
+        inliers=inliers, model=jnp.concatenate([R, t[:, None]], axis=-1),
+        n_inliers=n_in, ok=ok,
+    )
+
+
 @partial(jax.jit, static_argnames=("n_trials",))
 def pnp_ransac(
     key: jax.Array,

@@ -212,9 +212,12 @@ def _prior_rows(cfg: SolverConfig, x: WindowState, prior: PriorFactor):
     return rows, r * w
 
 
-def free_mask(cfg: SolverConfig, vis: VisualData, dtype) -> jax.Array:
+def free_mask(cfg: SolverConfig, vis: VisualData, dtype, td_free=None) -> jax.Array:
     """(NT,) 1.0 for free tangent dims, 0.0 for frozen (the reference's
-    SetParameterBlockConstant calls, estimator.cpp:1195-1236)."""
+    SetParameterBlockConstant calls, estimator.cpp:1174-1212).
+
+    ``td_free`` is the runtime gate mirroring the reference's
+    ``Vs[0].norm() > 0.2`` condition on td estimation."""
     m = jnp.ones((cfg.nt,), dtype)
     if not cfg.use_imu:
         m = m.at[NP:EX_OFF].set(0.0)  # no speed/bias params in VO mode
@@ -224,6 +227,8 @@ def free_mask(cfg: SolverConfig, vis: VisualData, dtype) -> jax.Array:
         m = m.at[EX_OFF:EX_OFF + 6].set(0.0)
     if not cfg.estimate_td:
         m = m.at[TD_OFF].set(0.0)
+    elif td_free is not None:
+        m = m.at[TD_OFF].set(td_free.astype(dtype))
     return m.at[NX:].set(vis.depth_free.astype(dtype))
 
 
@@ -275,6 +280,7 @@ def solve(
     imu: Optional[ImuData],
     prior: PriorFactor,
     gravity: jax.Array,
+    td_free=None,
 ) -> SolveResult:
     """Damped Gauss-Newton with accept/reject, ≤``max_iters`` steps.
 
@@ -282,7 +288,7 @@ def solve(
     8-iteration/0.04 s budget (estimator.cpp:1348-1363); trust-region
     control via the LM multiplier."""
     dtype = x0.P.dtype
-    fm = free_mask(cfg, vis, dtype)
+    fm = free_mask(cfg, vis, dtype, td_free)
 
     def eval_cost(x, lam_vec):
         return _cost(cfg, x, lam_vec, vis, imu, prior, gravity)

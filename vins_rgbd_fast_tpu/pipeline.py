@@ -1,0 +1,154 @@
+"""Full VIO pipeline: stream pairing → frontend tracking → backend solve.
+
+This is the process-level composition the reference spreads across two
+nodelet worker threads and ROS topics (``estimator_nodelet.cpp:61-62,
+192-568``).  On TPU the two "threads" are two compiled programs dispatched
+back-to-back per frame; the host shell only decodes/pairs/buffers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .backend import estimator as est
+from .backend.feature_table import FrameFeatures
+from .config import VinsConfig
+from .frontend import feature_tracker as ft
+from .io import stream as io_stream
+from .utils import quaternion as quat
+from .utils.timing import StageTimer
+
+
+class VinsPipeline:
+    """End-to-end RGB-D inertial odometry over a sensor stream."""
+
+    def __init__(self, vcfg: VinsConfig, dtype=jnp.float32,
+                 eager_outputs: bool = True, failure_check_interval: int = 1):
+        self.vcfg = vcfg
+        self.dtype = dtype
+        self.cam = vcfg.camera()
+        self.tcfg = ft.TrackerConfig(
+            width=vcfg.image_width, height=vcfg.image_height,
+            max_cnt=vcfg.max_cnt, capacity=vcfg.feature_capacity,
+            min_dist=vcfg.min_dist,
+            grid_rows=vcfg.num_grid_rows, grid_cols=vcfg.num_grid_cols,
+            f_threshold=vcfg.f_threshold, equalize=vcfg.equalize,
+            use_imu_prediction=vcfg.imu,
+        )
+        self.tracker_state = ft.init_state(self.tcfg, dtype)
+        self.estimator = est.VinsEstimator(
+            vcfg, dtype, eager_outputs=eager_outputs,
+            failure_check_interval=failure_check_interval,
+        )
+        self.pairer = io_stream.StreamPairer(
+            frontend_freq=vcfg.frontend_freq, publish_freq=vcfg.freq,
+        )
+        self.timer = StageTimer()
+        self._frame_idx = 0
+        self._last_frame_time: Optional[float] = None
+        self._imu_for_predict: list = []  # (t, gyr)
+        self._bg_cache = np.zeros(3)
+        self._depth_lookup = jax.jit(ft.lookup_depth)
+
+    # ------------------------------------------------------------------
+    def push_imu(self, t: float, acc, gyr):
+        self.estimator.push_imu(t, acc, gyr)
+        self._imu_for_predict.append((float(t), np.asarray(gyr, np.float64)))
+        if len(self._imu_for_predict) > 4000:
+            del self._imu_for_predict[:2000]
+
+    def push_image(self, t: float, image: np.ndarray):
+        self.pairer.push_image(io_stream.ImageMsg(t=float(t), image=image))
+
+    def push_depth(self, t: float, depth: np.ndarray):
+        self.pairer.push_depth(io_stream.DepthMsg(t=float(t), depth=depth))
+
+    # ------------------------------------------------------------------
+    def _predict_relative_R(self, t0: float, t1: float) -> np.ndarray:
+        """Gyro-only camera-frame relative rotation R_c1<-c0 for tracker
+        prediction (``Estimator::predictMotion``, estimator.cpp:1790-1860).
+
+        Pure numpy — per-sample device dispatches would dominate frame time
+        on tunneled devices.  The gyro bias uses a host-cached value (updated
+        with the same cadence as the td cache)."""
+        samples = [s for s in self._imu_for_predict if t0 < s[0] <= t1]
+        if len(samples) < 1:
+            return np.eye(3)
+        bg = self._bg_cache
+        R = np.eye(3)
+        t_prev = t0
+        for (ts, w) in samples:
+            dt = ts - t_prev
+            th = (w - bg) * dt
+            a = np.linalg.norm(th)
+            if a > 1e-12:
+                k = th / a
+                K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+                R = R @ (np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K))
+            t_prev = ts
+        ric = self.vcfg.ric_matrix()
+        return ric.T @ R.T @ ric
+
+    # ------------------------------------------------------------------
+    def spin_once(self) -> Optional[dict]:
+        """Process at most one paired frame; returns odometry or None."""
+        frame = self.pairer.next_frame()
+        if frame is None:
+            return None
+        if self.pairer.consume_reset():
+            self.tracker_state = ft.init_state(self.tcfg, self.dtype)
+            self.estimator.reset()
+            self.estimator.prev_time = None
+
+        t = frame.t
+        if self.vcfg.imu:
+            # backend needs IMU coverage up to t+td (IMUAvailable gate)
+            if not self.estimator.imu_available(t + self.vcfg.td):
+                # requeue: in an offline run the caller feeds IMU first, so
+                # this only happens at stream end
+                return None
+            rel_R = self._predict_relative_R(
+                self._last_frame_time if self._last_frame_time else t - 1e-3, t
+            )
+        else:
+            rel_R = np.eye(3)
+        self._last_frame_time = t
+
+        with self.timer.stage("frontend"):
+            img = jnp.asarray(frame.image, self.dtype)
+            self.tracker_state, tout = ft.track_frame(
+                self.tcfg, self.cam, self.tracker_state, img,
+                jnp.asarray(t, self.dtype), jnp.asarray(rel_R, self.dtype),
+                jax.random.PRNGKey(self._frame_idx),
+                pub_this_frame=True,
+            )
+        self._frame_idx += 1
+
+        if not frame.publish:
+            return None
+
+        with self.timer.stage("depth_lookup"):
+            feats = tout.features
+            depth = self._depth_lookup(
+                jnp.asarray(frame.depth, self.dtype), feats.uv, feats.ids >= 0
+            )
+            feats = feats._replace(depth=depth)
+
+        with self.timer.stage("backend"):
+            out = self.estimator.process_features(feats, t)
+        return out
+
+    def run(self, max_frames: int = 10 ** 9) -> list:
+        """Drain the stream; returns the trajectory list."""
+        n = 0
+        while n < max_frames:
+            out = self.spin_once()
+            if out is None and self.pairer._img_buf == []:
+                break
+            if out is not None:
+                n += 1
+        return self.estimator.trajectory
