@@ -21,6 +21,15 @@ BASELINE_FPS = 30.0
 
 def main():
     import jax
+
+    # persistent compile cache: first-run compiles of the big fused programs
+    # take minutes through the remote-compile tunnel; cache them per repo
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from vins_rgbd_fast_tpu.config import VinsConfig

@@ -162,12 +162,18 @@ def make_landmark_field(traj, n_landmarks=400, seed=1):
 
 
 def project_frame_features(P, Q, L, maxc, depth_noise=0.0, px_noise=0.0,
-                           focal=460.0, center=(320.0, 240.0), rng=None):
-    """Exact projections of the landmark field from pose (P, Q) (identity
-    extrinsic) into a FrameFeatures batch; ids = landmark indices."""
+                           focal=460.0, center=(320.0, 240.0), rng=None,
+                           ric=None, tic=None):
+    """Exact projections of the landmark field from IMU pose (P, Q) into a
+    FrameFeatures batch; ids = landmark indices.  Optional camera extrinsic
+    (ric imu<-cam rotation, tic translation), identity by default."""
     from vins_rgbd_fast_tpu.backend.feature_table import FrameFeatures
 
     Rw = np.asarray(quat.q2R(jnp.asarray(Q)))
+    if ric is not None:
+        t_wc = P + Rw @ (tic if tic is not None else np.zeros(3))
+        Rw = Rw @ ric
+        P = t_wc
     pc = (L - P) @ Rw  # world -> cam (R^T (L - P))
     z = pc[:, 2]
     xy = pc[:, :2] / np.where(np.abs(z) > 1e-6, z, 1e-6)[:, None]

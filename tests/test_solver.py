@@ -94,6 +94,46 @@ def test_masked_rows_isolate_nonfinite_data():
     assert bool(jnp.isfinite(res.cost))
 
 
+def test_relo_block_recovers_old_pose():
+    """Fast-relocalization factors: matched old-keyframe observations must
+    pull the extra relo pose onto its true value while the window stays."""
+    gt, imu_arr = simulate_window_trajectory(seed=51)
+    vis, L = make_visual_data(gt, maxf=MAXF, seed=52, depth_fixed_frac=0.7)
+    imu = make_imu_data(imu_arr)
+    # "old keyframe" ground-truth pose: offset from frame 3
+    P_old = np.asarray(gt.P[3]) + np.array([0.15, -0.1, 0.05])
+    Q_old = np.asarray(quat.qmul(gt.Q[3], quat.so3_exp(jnp.asarray([0.03, 0.02, -0.04]))))
+    # exact observations of the landmarks from the old pose (identity extrinsic)
+    R_old = np.asarray(quat.q2R(jnp.asarray(Q_old)))
+    pc = (L - P_old) @ R_old
+    obs = pc[:, :2] / pc[:, 2:3]
+    match_valid = np.zeros(MAXF, bool)
+    match_pts = np.zeros((MAXF, 2))
+    n = L.shape[0]
+    match_valid[:n] = pc[:, 2] > 0.5
+    match_pts[:n] = obs
+    relo = slv.ReloData(
+        active=jnp.asarray(True),
+        match_pts=jnp.asarray(match_pts),
+        match_valid=jnp.asarray(match_valid),
+        # perturbed initial guess of the old pose
+        P=jnp.asarray(P_old + np.array([0.1, 0.08, -0.06])),
+        Q=quat.qboxplus(jnp.asarray(Q_old), jnp.asarray([0.02, -0.03, 0.02])),
+    )
+    cfg = slv.SolverConfig(maxf=MAXF, use_imu=True, max_iters=8, with_relo=True)
+    res = slv.solve(cfg, gt, vis, imu, slv.empty_prior(gt.P.dtype),
+                    jnp.asarray(G), relo=relo)
+    assert res.relo_P is not None
+    perr = np.linalg.norm(np.asarray(res.relo_P) - P_old)
+    assert perr < 5e-3, perr
+    dq = quat.qmul(quat.qconj(jnp.asarray(Q_old)), res.relo_Q)
+    assert np.abs(np.asarray(dq)[1:]).max() < 5e-3
+    # inactive relo must be a no-op
+    res2 = slv.solve(cfg, gt, vis, imu, slv.empty_prior(gt.P.dtype),
+                     jnp.asarray(G), relo=slv.empty_relo(MAXF, gt.P.dtype))
+    assert bool(jnp.isfinite(res2.cost))
+
+
 def test_schur_prior_matches_dense_conditioning():
     """The eigendecomp square-root prior must reproduce the exact Schur
     complement of a random PSD system (numpy reference math)."""

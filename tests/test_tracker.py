@@ -104,6 +104,23 @@ def test_velocity_output_normalized_units():
     np.testing.assert_allclose(med, [30.0 / 460.0, 15.0 / 460.0], atol=0.02)
 
 
+def test_fisheye_mask_limits_detection():
+    cfg = ft.TrackerConfig(width=W, height=H, max_cnt=60, min_dist=12,
+                           grid_rows=4, grid_cols=5, use_imu_prediction=False,
+                           fast_threshold=12.0, fisheye=True,
+                           fisheye_radius_frac=0.35)
+    state = ft.init_state(cfg)
+    state, out = ft.track_frame(cfg, CAM, state, _scene(0.0), jnp.asarray(0.0),
+                                jnp.eye(3), jax.random.PRNGKey(0))
+    f = out.features
+    ids = np.asarray(f.ids)
+    uv = np.asarray(f.uv)[ids >= 0]
+    rad = 0.35 * min(H, W)
+    d = np.linalg.norm(uv - np.asarray([W / 2, H / 2]), axis=-1)
+    assert len(uv) > 5
+    assert (d < rad + 1e-3).all()
+
+
 def test_imu_prediction_mode_runs():
     cfg = ft.TrackerConfig(width=W, height=H, max_cnt=40, min_dist=20,
                            grid_rows=4, grid_cols=5, use_imu_prediction=True,

@@ -70,6 +70,7 @@ class EstimatorConfig:
     gyr_w: float = 0.0001
     tr_over_row: float = 0.0  # rolling_shutter_tr / image_height
     max_iters: int = 8
+    fast_relo: bool = False  # fast relocalization (relo factors in the BA)
 
     @classmethod
     def from_vins(cls, cfg: VinsConfig) -> "EstimatorConfig":
@@ -89,6 +90,7 @@ class EstimatorConfig:
             tr_over_row=(cfg.rolling_shutter_tr / cfg.image_height
                          if cfg.rolling_shutter else 0.0),
             max_iters=cfg.max_num_iterations,
+            fast_relo=cfg.fast_relocalization,
         )
 
     @property
@@ -101,6 +103,7 @@ class EstimatorConfig:
             estimate_extrinsic=self.estimate_extrinsic,
             fix_pose0=not self.use_imu,
             yaw_gauge=self.use_imu,
+            with_relo=self.fast_relo,
         )
 
     @property
@@ -406,6 +409,9 @@ class StepOutput(NamedTuple):
     cost: jax.Array
     n_features: jax.Array
     last_track_num: jax.Array
+    relo_P: jax.Array  # optimized relocalization pose (zeros if unused)
+    relo_Q: jax.Array
+    relo_used: jax.Array
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -454,6 +460,7 @@ def _solve_and_slide(
     st: EstimatorState,
     is_kf: jax.Array,
     last_track_num: jax.Array,
+    relo: Optional[slv.ReloData] = None,
 ) -> Tuple[EstimatorState, StepOutput]:
     """Shared tail: triangulate → solve → write-back → checks → marginalize
     → slide.  Used by both ``init_full`` and ``vio_step``."""
@@ -470,7 +477,7 @@ def _solve_and_slide(
     imu_data = _make_preints(cfg, st) if cfg.use_imu else None
     td_free = (jnp.linalg.norm(st.x.V[0]) > 0.2).astype(dtype) if cfg.use_imu else None
 
-    res = slv.solve(cfg.solver, st.x, vis, imu_data, st.prior, g, td_free)
+    res = slv.solve(cfg.solver, st.x, vis, imu_data, st.prior, g, td_free, relo)
     x_new = res.x
     table = ftab.update_depths_from_solver(st.table, res.inv_depth, vis.depth_free)
     table = _moving_consistency(cfg, x_new, table)
@@ -495,10 +502,111 @@ def _solve_and_slide(
         P=x_new.P[WINDOW_SIZE], Q=x_new.Q[WINDOW_SIZE], V=x_new.V[WINDOW_SIZE],
         is_keyframe=is_kf, failure=failure, cost=res.cost,
         n_features=jnp.sum(vis.valid), last_track_num=last_track_num,
+        relo_P=(res.relo_P if res.relo_P is not None else jnp.zeros(3, dtype)),
+        relo_Q=(res.relo_Q if res.relo_Q is not None
+                else jnp.asarray([1.0, 0, 0, 0], dtype)),
+        relo_used=(relo.active if (cfg.fast_relo and relo is not None)
+                   else jnp.asarray(False)),
     )
     st = st._replace(last_P=x_new.P[WINDOW_SIZE], last_Q=x_new.Q[WINDOW_SIZE])
     st = _slide(cfg, st, is_kf)
     return st, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def init_dynamic(
+    cfg: EstimatorConfig, st: EstimatorState, key: jax.Array
+) -> Tuple[EstimatorState, StepOutput, jax.Array]:
+    """Dynamic (in-motion) initialization at window-full — the capability of
+    the reference's ``initialStructure`` + ``visualInitialAlignWithDepth``
+    (estimator.cpp:384-579, 799-872), re-designed for RGB-D:
+
+      1. IMU excitation check (std of Δv/Δt > 0.25);
+      2. visual pose bootstrap: instead of the monocular 5-point + global
+         SFM + PnP chain of the reference (whose ``relativePose`` already
+         prefers depth-PnP, solve_5pts.cpp:251-294), poses are chained by
+         depth-anchored PnP frame-to-frame — exact metric scale from the
+         depth image, no scale variable to align;
+      3. depth-validated triangulation over the bootstrapped window;
+      4. gyro-bias least squares + per-frame velocity/gravity linear
+         alignment (no scale), gravity-aligning the world frame;
+      5. the standard solve/marginalize/slide tail.
+
+    Returns (state, output, ok).  On ok=False the host slides the window
+    and retries next frame (the reference's failed-init path).
+    """
+    dtype = st.x.P.dtype
+    pre0 = _make_preints(cfg, st)
+    excited = init_ops.imu_excitation_ok(
+        pre0.pre.delta_v, pre0.pre.sum_dt, pre0.valid
+    )
+
+    # --- depth-PnP chain: camera poses in the frame-0 camera world -------
+    t = st.table
+    x = st.x
+    rays_all = jnp.concatenate([t.pts, jnp.ones_like(t.pts[..., :1])], axis=-1)
+
+    R_wc = jnp.tile(jnp.eye(3, dtype=dtype)[None], (FRAMES, 1, 1))
+    t_wc = jnp.zeros((FRAMES, 3), dtype)
+    chain_ok = jnp.asarray(True)
+    for j in range(1, FRAMES):  # static chain, one PnP per link
+        i = j - 1
+        has_d = t.obs_mask[:, i] & t.obs_mask[:, j] & (t.depth_meas[:, i] > 0)
+        p_cam_i = rays_all[:, i] * t.depth_meas[:, i][:, None]
+        p_w = jnp.einsum("ab,nb->na", R_wc[i], p_cam_i) + t_wc[i]
+        res = ransac_ops.pnp_ransac_guess(
+            jax.random.fold_in(key, j), p_w, t.pts[:, j], has_d,
+            R_wc[i].T, -R_wc[i].T @ t_wc[i],
+            threshold=10.0 / 460.0, n_trials=8, refine_iters=6, min_inliers=8,
+        )
+        Rj = res.model[:, :3]
+        tj = res.model[:, 3]
+        R_wc = R_wc.at[j].set(jnp.where(res.ok, Rj.T, R_wc[i]))
+        t_wc = t_wc.at[j].set(jnp.where(res.ok, -Rj.T @ tj, t_wc[i]))
+        chain_ok = chain_ok & res.ok
+
+    # camera chain -> imu poses (world = frame-0 camera frame for now)
+    R_ic = quat.q2R(x.qic)
+    R_wi = jnp.einsum("fab,cb->fac", R_wc, R_ic)  # R_wc @ R_ic^T
+    P_wi = t_wc - jnp.einsum("fab,b->fa", R_wi, x.tic)
+    Q_wi = quat.R2q(R_wi)
+
+    # --- gyro bias + velocity/gravity alignment --------------------------
+    dbg = init_ops.solve_gyroscope_bias(
+        pre0.pre.delta_q,
+        pre0.pre.jacobian[:, imupre.O_R:imupre.O_R + 3, imupre.O_BG:imupre.O_BG + 3],
+        Q_wi, pre0.valid,
+    )
+    st1 = st._replace(x=x._replace(Bg=x.Bg + dbg[None, :]))
+    pre1 = _make_preints(cfg, st1)
+    V_c0, g_c0, align_ok = init_ops.linear_alignment_with_depth(
+        pre1.pre.delta_p, pre1.pre.delta_v, pre1.pre.sum_dt,
+        P_wi, Q_wi, st1.x.tic, pre1.valid, cfg.g_norm,
+    )
+
+    # rotate everything so gravity is world -z-up (g2R, yaw-zeroed)
+    R0 = quat.g2R(g_c0)
+    P_new = jnp.einsum("ab,fb->fa", R0, P_wi)
+    P_new = P_new - P_new[0][None]
+    R_new = jnp.einsum("ab,fbc->fac", R0, R_wi)
+    V_new = jnp.einsum("ab,fb->fa", R0, V_c0)
+    x_new = st1.x._replace(P=P_new, Q=quat.R2q(R_new), V=V_new)
+    st1 = st1._replace(x=x_new)
+
+    ok = excited & chain_ok & align_ok
+    st2, out = _solve_and_slide(cfg, st1, jnp.asarray(True), jnp.asarray(50))
+    # on failure: keep the ORIGINAL (un-rotated, un-marginalized) state,
+    # merely slid — the reference's failed-init path (estimator.cpp:253-256)
+    st_fail = _slide(cfg, st, jnp.asarray(True))
+    st_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st2, st_fail)
+    return st_out, out, ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def slide_only(cfg: EstimatorConfig, st: EstimatorState, is_kf: jax.Array) -> EstimatorState:
+    """Window slide without a solve — the failed-initialization retry path
+    (estimator.cpp:253-256)."""
+    return _slide(cfg, st, is_kf)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -525,6 +633,7 @@ def vio_step(
     feats: FrameFeatures,
     imu: ImuInterval,
     key: jax.Array,
+    relo: Optional[slv.ReloData] = None,
 ) -> Tuple[EstimatorState, StepOutput]:
     """Steady-state NON_LINEAR per-frame program (the ``train_step`` analog)."""
     j = jnp.asarray(WINDOW_SIZE, jnp.int32)
@@ -545,7 +654,29 @@ def vio_step(
     if not cfg.use_imu:
         st = st._replace(x=_pnp_newest(cfg, st, key))
 
-    return _solve_and_slide(cfg, st, is_kf, ltn)
+    return _solve_and_slide(cfg, st, is_kf, ltn, relo)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_points(cfg: EstimatorConfig, st: EstimatorState):
+    """Export the newest frame's depth-anchored landmarks for the pose
+    graph (the reference's ``pubKeyframe`` point cloud: world position +
+    per-point [x_norm y_norm u v id], visualization.cpp:454-520).
+
+    Returns (wp_world (MAXF,3), wp_uv (MAXF,2), wp_norm (MAXF,2), valid)."""
+    t = st.table
+    x = st.x
+    j = FRAMES - 1
+    t_wc, R_wc = ftab.cam_poses(x.P, x.Q, x.tic, x.qic)
+    s = t.start
+    pts_s = jnp.take_along_axis(t.pts, s[:, None, None], axis=1)[:, 0]
+    rays = jnp.concatenate([pts_s, jnp.ones_like(pts_s[:, :1])], axis=-1)
+    p_cam = rays * t.est_depth[:, None]
+    p_w = jnp.einsum("nij,nj->ni", R_wc[s], p_cam) + t_wc[s]
+    valid = (
+        ftab.active_rows(t) & (t.est_depth > 0) & t.obs_mask[:, j] & ~t.is_dynamic
+    )
+    return p_w, t.uv[:, j], t.pts[:, j], valid
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +705,11 @@ class VinsEstimator:
         self.failure_check_interval = failure_check_interval
         self._imu_buf: list = []  # (t, acc(3,), gyr(3,)) host floats
         self.prev_time: Optional[float] = None
+        # extrinsic rotation self-calibration (ESTIMATE_EXTRINSIC==2)
+        self._ex_calibrating = vcfg.estimate_extrinsic == 2
+        self._ex_pairs: list = []  # (q_cam (4,), q_imu (4,))
+        self._prev_feats_host: Optional[tuple] = None
+        self._pending_relo: Optional[slv.ReloData] = None
         self.reset()
 
     def reset(self):
@@ -667,6 +803,9 @@ class VinsEstimator:
             imu = empty_interval(cfg, self.dtype)
         self.prev_time = cur_time
 
+        if self._ex_calibrating:
+            self._update_ex_calibration(feats, imu)
+
         out = None
         if self.solver_flag == self.INITIAL:
             self.state, is_kf = fill_step(
@@ -674,14 +813,31 @@ class VinsEstimator:
             )
             self.headers[self.frame_count] = t
             if self.frame_count == WINDOW_SIZE:
-                self.state, step_out = init_full(cfg, self.state)
-                self.solver_flag = self.NON_LINEAR
-                out = self._emit(step_out, t)
+                if cfg.use_imu and not cfg.static_init:
+                    # dynamic initialization; retry on failure after sliding
+                    self.state, step_out, ok = init_dynamic(
+                        cfg, self.state, jax.random.PRNGKey(self._step)
+                    )
+                    if bool(jax.device_get(ok)):
+                        self.solver_flag = self.NON_LINEAR
+                        out = self._emit(step_out, t)
+                    else:
+                        # state was already slid by the init program's tail;
+                        # stay INITIAL, window keeps sliding until init works
+                        self.headers = self.headers[1:] + [t]
+                else:
+                    self.state, step_out = init_full(cfg, self.state)
+                    self.solver_flag = self.NON_LINEAR
+                    out = self._emit(step_out, t)
             else:
                 self.frame_count += 1
         else:
             key = jax.random.PRNGKey(self._step)
-            self.state, step_out = vio_step(cfg, self.state, feats, imu, key)
+            relo = None
+            if cfg.fast_relo:
+                relo = self._pending_relo or slv.empty_relo(cfg.maxf, self.dtype)
+                self._pending_relo = None
+            self.state, step_out = vio_step(cfg, self.state, feats, imu, key, relo)
             self.headers = self.headers[1:] + [t]
             # failure detection sync is amortized: scalar readback is
             # expensive on tunneled devices (estimator.cpp:345-353 reboots
@@ -694,6 +850,78 @@ class VinsEstimator:
             out = self._emit(step_out, t)
         self._step += 1
         return out
+
+    def set_relo_frame(self, match_pts: np.ndarray, match_valid: np.ndarray,
+                       P_old: np.ndarray, Q_old: np.ndarray):
+        """Queue a relocalization constraint for the next solve (the
+        reference's ``setReloFrame``, estimator.cpp:1728-1747).
+
+        ``match_pts``/``match_valid`` are aligned to feature-table rows
+        (the pose graph matches against ``keyframe_points`` exports)."""
+        self._pending_relo = slv.ReloData(
+            active=jnp.asarray(True),
+            match_pts=jnp.asarray(match_pts, self.dtype),
+            match_valid=jnp.asarray(match_valid),
+            P=jnp.asarray(P_old, self.dtype),
+            Q=jnp.asarray(Q_old, self.dtype),
+        )
+
+    def _update_ex_calibration(self, feats: FrameFeatures, imu: ImuInterval):
+        """Online imu-camera rotation calibration (the reference's
+        ``CalibrationExRotation`` hook in processImage, estimator.cpp:
+        208-226): accumulate (camera, imu) relative-rotation pairs, solve
+        hand-eye when enough are collected, then free the extrinsic."""
+        ids = np.asarray(jax.device_get(feats.ids))
+        pts = np.asarray(jax.device_get(feats.pts))
+        cur = (ids, pts)
+        prev = self._prev_feats_host
+        self._prev_feats_host = cur
+        if prev is None:
+            return
+        pids, ppts = prev
+        common = {int(i): k for k, i in enumerate(pids) if i >= 0}
+        m1, m2 = [], []
+        for k, i in enumerate(ids):
+            if i >= 0 and int(i) in common:
+                m1.append(ppts[common[int(i)]])
+                m2.append(pts[k])
+        if len(m1) < 9:
+            return
+        m1 = np.asarray(m1)
+        m2 = np.asarray(m2)
+        from ..ops import ransac as ransac_ops
+        res = ransac_ops.fundamental_ransac(
+            jax.random.PRNGKey(self._step + 7777),
+            jnp.asarray(m1), jnp.asarray(m2), jnp.ones(len(m1), bool),
+            threshold=1.0 / 460.0, n_trials=64,
+        )
+        R_cam, _, score = init_ops.decompose_essential(
+            res.model, jnp.asarray(m1), jnp.asarray(m2), res.inliers)
+        # q_cam convention for hand-eye: rotation of frame k in frame k-1
+        q_cam = quat.R2q(R_cam.T)
+        # imu Δq from the raw interval via gyro integration (host-cheap)
+        pre = imupre.preintegrate(
+            imu.dts, imu.acc, imu.gyr, jnp.zeros(3, imu.acc.dtype),
+            jnp.zeros(3, imu.acc.dtype), self.cfg.noise)
+        self._ex_pairs.append((np.asarray(jax.device_get(q_cam)),
+                               np.asarray(jax.device_get(pre.delta_q))))
+        if len(self._ex_pairs) < 12:
+            return
+        # keep a long history: the reference accumulates pairs unboundedly and
+        # its 0.25 spectrum threshold needs the excitation to integrate up
+        self._ex_pairs = self._ex_pairs[-100:]
+        qc = jnp.asarray(np.stack([p[0] for p in self._ex_pairs]))
+        qi = jnp.asarray(np.stack([p[1] for p in self._ex_pairs]))
+        ric_now = quat.q2R(self.state.x.qic)
+        ric_new, ok = init_ops.calibrate_extrinsic_rotation(
+            qc, qi, ric_now, jnp.ones(qc.shape[0], bool))
+        if bool(jax.device_get(ok)):
+            self.state = self.state._replace(
+                x=self.state.x._replace(qic=quat.R2q(ric_new)))
+            # calibrated: switch to refine-online mode (reference sets
+            # ESTIMATE_EXTRINSIC=1)
+            self._ex_calibrating = False
+            self.cfg = dataclasses.replace(self.cfg, estimate_extrinsic=True)
 
     def _emit(self, step_out: StepOutput, t: float):
         self._pending.append((t, step_out))

@@ -34,6 +34,97 @@ from ..ops import imu_preintegration as imupre
 from .state import FRAMES, WINDOW_SIZE
 
 
+def decompose_essential(E: jax.Array, pts1: jax.Array, pts2: jax.Array,
+                        valid: jax.Array):
+    """Essential matrix -> relative rotation with cheirality test.
+
+    The reference reimplements cv::decomposeEssentialMat/recoverPose with
+    cheirality checks (``solve_5pts.cpp:9-202``); here the four (R, t)
+    candidates are scored by positive-depth counts from midpoint
+    triangulation, all candidates evaluated in parallel.
+
+    Convention: x2 ~ R·x1 + t (cam2 from cam1).  Returns (R, t, score).
+    """
+    dtype = E.dtype
+    U, S, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t1 = U[:, 2]
+
+    def depth_score(R, t):
+        # midpoint triangulation depths for rays (x1, 1) and (x2, 1)
+        r1 = jnp.concatenate([pts1, jnp.ones_like(pts1[:, :1])], axis=-1)
+        r2 = jnp.concatenate([pts2, jnp.ones_like(pts2[:, :1])], axis=-1)
+        Rr1 = r1 @ R.T  # rays of cam1 in cam2 frame
+        # solve [Rr1, -r2] [d1; d2] = -t per point (least squares 3x2)
+        A = jnp.stack([Rr1, -r2], axis=-1)  # (N,3,2)
+        AtA = jnp.einsum("nia,nib->nab", A, A)
+        Atb = jnp.einsum("nia,ni->na", A, -jnp.broadcast_to(t, r1.shape))
+        det = AtA[:, 0, 0] * AtA[:, 1, 1] - AtA[:, 0, 1] * AtA[:, 1, 0]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+        d1 = inv_det * (AtA[:, 1, 1] * Atb[:, 0] - AtA[:, 0, 1] * Atb[:, 1])
+        d2 = inv_det * (-AtA[:, 1, 0] * Atb[:, 0] + AtA[:, 0, 0] * Atb[:, 1])
+        return jnp.sum(((d1 > 0) & (d2 > 0) & valid).astype(dtype))
+
+    cands = [(R1, t1), (R1, -t1), (R2, t1), (R2, -t1)]
+    scores = jnp.stack([depth_score(R, t) for (R, t) in cands])
+    best = jnp.argmax(scores)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    return Rs[best], ts[best], scores[best]
+
+
+def calibrate_extrinsic_rotation(
+    q_cam: jax.Array,  # (K,4) camera relative rotations frame k-1 -> k
+    q_imu: jax.Array,  # (K,4) imu preintegrated Δq for the same intervals
+    ric_guess: jax.Array,  # (3,3) current estimate (for the Huber weighting)
+    valid: jax.Array,  # (K,)
+):
+    """Hand-eye rotation from rotation pairs (``InitialEXRotation::
+    CalibrationExRotation``, initial_ex_rotation.cpp:12-68): stack
+    Huber-weighted (Qleft(q_cam) − Qright(ric⁻¹·q_imu·ric)) blocks and take
+    the null quaternion; convergence when the residual spectrum separates.
+
+    Returns (ric (3,3), ok).  The Huber weights depend on the current
+    estimate, so the solve iterates a few rounds internally (the reference
+    achieves the same by re-running per frame with the updated ric)."""
+    dtype = q_cam.dtype
+    L = quat.qleft(q_cam)  # (K,4,4)
+    Rm = quat.qright(q_imu)
+
+    def solve_round(q_guess):
+        q_imu_c = quat.qmul(
+            quat.qconj(q_guess)[None], quat.qmul(q_imu, q_guess[None]))
+        dq = quat.qmul(quat.qconj(q_cam), q_imu_c)
+        ang = jnp.degrees(jnp.linalg.norm(quat.so3_log(dq), axis=-1))
+        w = jnp.where(ang > 5.0, 5.0 / jnp.maximum(ang, 1e-9), 1.0)
+        w = w * valid.astype(dtype)
+        A = (L - Rm) * w[:, None, None]
+        M = jnp.einsum("kia,kib->ab", A, A)
+        Mj = M + (1e-9 * jnp.trace(M) + 1e-20) * jnp.eye(4, dtype=dtype)
+        Lc = jnp.linalg.cholesky(Mj)
+        v = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)
+        for _ in range(10):
+            v = jax.scipy.linalg.cho_solve((Lc, True), v)
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+        q_ic = quat.qnormalize(v)
+        evals = jnp.linalg.eigvalsh(M)
+        return quat.qconj(q_ic), evals[1]
+
+    q_guess = quat.R2q(ric_guess)
+    ev1 = jnp.zeros((), dtype)
+    for _ in range(3):
+        q_guess, ev1 = solve_round(q_guess)
+    # reference threshold is on the stacked-A *singular* values (0.25,
+    # initial_ex_rotation.cpp:58-64); ev1 is an eigenvalue of A'A = sigma^2
+    ok = (jnp.sum(valid) >= 10) & (jnp.sqrt(jnp.maximum(ev1, 0.0)) > 0.25)
+    return quat.q2R(q_guess), ok
+
+
 def init_first_imu_pose(accs: jax.Array, valid: jax.Array) -> jax.Array:
     """Initial world-from-body quaternion aligning averaged measured
     acceleration with gravity, yaw-zeroed."""
@@ -128,12 +219,11 @@ def linear_alignment_with_depth(
             b, jax.lax.dynamic_slice(b, (s,), (6,)) + rb[:6], (s,))
         A = A.at[n_state - 3:, n_state - 3:].add(rA[6:, 6:])
         b = b.at[n_state - 3:].add(rb[6:])
+        c3 = jnp.asarray(n_state - 3, jnp.int32)
         A = jax.lax.dynamic_update_slice(
-            A, jax.lax.dynamic_slice(A, (s, n_state - 3), (6, 3)) + rA[:6, 6:],
-            (s, n_state - 3))
+            A, jax.lax.dynamic_slice(A, (s, c3), (6, 3)) + rA[:6, 6:], (s, c3))
         A = jax.lax.dynamic_update_slice(
-            A, jax.lax.dynamic_slice(A, (n_state - 3, s), (3, 6)) + rA[6:, :6],
-            (n_state - 3, s))
+            A, jax.lax.dynamic_slice(A, (c3, s), (3, 6)) + rA[6:, :6], (c3, s))
         return (A, b), None
 
     (A, b), _ = jax.lax.scan(body, (A, b), jnp.arange(WINDOW_SIZE, dtype=jnp.int32))
@@ -201,12 +291,11 @@ def refine_gravity_with_depth(
                 b, jax.lax.dynamic_slice(b, (s,), (6,)) + rb[:6], (s,))
             A = A.at[n_state - 2:, n_state - 2:].add(rA[6:, 6:])
             b = b.at[n_state - 2:].add(rb[6:])
+            c2 = jnp.asarray(n_state - 2, jnp.int32)
             A = jax.lax.dynamic_update_slice(
-                A, jax.lax.dynamic_slice(A, (s, n_state - 2), (6, 2)) + rA[:6, 6:],
-                (s, n_state - 2))
+                A, jax.lax.dynamic_slice(A, (s, c2), (6, 2)) + rA[:6, 6:], (s, c2))
             A = jax.lax.dynamic_update_slice(
-                A, jax.lax.dynamic_slice(A, (n_state - 2, s), (2, 6)) + rA[6:, :6],
-                (n_state - 2, s))
+                A, jax.lax.dynamic_slice(A, (c2, s), (2, 6)) + rA[6:, :6], (c2, s))
             return (A, b), None
 
         (A, b), _ = jax.lax.scan(body, (A, b), jnp.arange(WINDOW_SIZE, dtype=jnp.int32))

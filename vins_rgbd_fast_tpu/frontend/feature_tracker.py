@@ -59,6 +59,8 @@ class TrackerConfig:
     f_threshold: float = 1.0
     fast_threshold: float = 10.0  # OpenCV FastFeatureDetector default
     equalize: bool = False
+    fisheye: bool = False  # circular FOV mask (reference fisheye_mask.jpg)
+    fisheye_radius_frac: float = 0.5  # mask radius as a fraction of min(H,W)
     use_imu_prediction: bool = True
     pyr_levels_predicted: int = 2  # cv maxLevel=1 (feature_tracker.cpp:302)
     pyr_levels_cold: int = 4  # cv maxLevel=3 (feature_tracker.cpp:309)
@@ -248,6 +250,16 @@ def track_frame(
 
     # ---- FAST detection over the whole image ---------------------------
     score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
+    if cfg.fisheye:
+        # circular FOV mask: suppress detections and kill tracks outside
+        # (the reference loads a fisheye_mask image; setMask intersects it)
+        yy = jnp.arange(cfg.height, dtype=dtype)[:, None] - cfg.height / 2.0
+        xx = jnp.arange(cfg.width, dtype=dtype)[None, :] - cfg.width / 2.0
+        rad = cfg.fisheye_radius_frac * min(cfg.height, cfg.width)
+        in_fov = (yy * yy + xx * xx) < rad * rad
+        score = jnp.where(in_fov, score, 0.0)
+        d2c = (cur_pts - jnp.asarray([cfg.width / 2.0, cfg.height / 2.0], dtype))
+        tracked = tracked & (jnp.sum(d2c * d2c, axis=-1) < rad * rad)
     cand_xy, cand_resp = fast_ops.grid_topk(
         score, cfg.grid_rows, cfg.grid_cols, cfg.cand_per_grid
     )
@@ -255,21 +267,24 @@ def track_frame(
 
     # ---- unified greedy admission (setMask + addPoints) ----------------
     # priority order: tracked sorted by track_cnt desc, then unstable
-    # blockers, then candidates sorted by response desc
-    order_tr = jnp.argsort(-jnp.where(tracked, track_cnt, -1))
+    # blockers, then candidates sorted by response desc.  Tracked and
+    # unstable entries share the cur_pts block (one scan slot each).
+    prio = jnp.where(tracked, track_cnt.astype(jnp.int32),
+                     jnp.where(unstable, 0, -1))
+    order_tr = jnp.argsort(-prio)
     tr_xy = cur_pts[order_tr]
     tr_ok = tracked[order_tr]
-    un_xy = cur_pts  # unstable uses same array; mask selects
+    tr_block = unstable[order_tr]
     order_cand = jnp.argsort(-cand_resp)
     cd_xy = cand_xy[order_cand]
     cd_ok = cand_resp[order_cand] > 0
 
-    all_xy = jnp.concatenate([tr_xy, un_xy, cd_xy], axis=0)
+    all_xy = jnp.concatenate([tr_xy, cd_xy], axis=0)
     eligible = jnp.concatenate(
-        [tr_ok, jnp.zeros(maxc, bool), cd_ok if pub_this_frame else jnp.zeros(ncand, bool)]
+        [tr_ok, cd_ok if pub_this_frame else jnp.zeros(ncand, bool)]
     )
-    blocker = jnp.concatenate([jnp.zeros(maxc, bool), unstable, jnp.zeros(ncand, bool)])
-    is_new = jnp.concatenate([jnp.zeros(2 * maxc, bool), jnp.ones(ncand, bool)])
+    blocker = jnp.concatenate([tr_block, jnp.zeros(ncand, bool)])
+    is_new = jnp.concatenate([jnp.zeros(maxc, bool), jnp.ones(ncand, bool)])
     grids = _grid_id(cfg, all_xy)
 
     # per-grid need for new detections: quota − tracked-in-grid (+2 slack)
@@ -292,7 +307,7 @@ def track_frame(
 
     # ---- build the new fixed-capacity point set ------------------------
     adm_tr = admitted[:maxc]
-    adm_cd = admitted[2 * maxc:]
+    adm_cd = admitted[maxc:]
     keep_xy = jnp.concatenate([tr_xy, cd_xy], axis=0)
     keep_mask = jnp.concatenate([adm_tr, adm_cd])
     keep_ids = jnp.concatenate([state.ids[order_tr], jnp.full((ncand,), -1, jnp.int32)])

@@ -226,6 +226,108 @@ def optimize_4dof(
 
 
 # ---------------------------------------------------------------------------
+# 6-DoF pose graph optimization (VO mode — optimize6DoF, pose_graph.cpp:583-750)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_nodes_static", "iters"))
+def optimize_6dof(
+    t0: jax.Array,  # (K,3)
+    q0: jax.Array,  # (K,4) wxyz
+    node_valid: jax.Array,
+    node_fixed: jax.Array,
+    edge_i: jax.Array,
+    edge_j: jax.Array,
+    edge_rel_t: jax.Array,  # (E,3) t_ij in frame i
+    edge_rel_q: jax.Array,  # (E,4)
+    edge_is_loop: jax.Array,
+    edge_valid: jax.Array,
+    n_nodes_static: int,
+    iters: int = 5,
+    huber: float = 0.1,
+    t_var: float = 0.1,
+    q_var: float = 0.01,
+):
+    """Full SE(3) pose graph (the reference's ``RelativeRTError``:
+    translation residual in frame i scaled 1/t_var, quaternion residual
+    2·vec(q_meas⁻¹ q_i⁻¹ q_j)/q_var).  Same batched-LM machinery as the
+    4-DoF solver with 6-dim node tangents."""
+    K = n_nodes_static
+    NPAR = 6 * K
+    dtype = t0.dtype
+
+    def edge_res(ti, qi, tj, qj, rel_t, rel_q):
+        t_ij = quat.qrot_inv(qi, tj - ti)
+        r_t = (t_ij - rel_t) / t_var
+        q_ij = quat.qmul(quat.qconj(qi), qj)
+        r_q = 2.0 * quat.qmul(quat.qconj(rel_q), q_ij)[1:4] / q_var
+        return jnp.concatenate([r_t, r_q])
+
+    def residuals_and_rows(t, q):
+        def one(ei, ej, rel_t, rel_q, is_loop, ok):
+            ti, qi = t[ei], q[ei]
+            tj, qj = t[ej], q[ej]
+
+            def local(d):
+                return edge_res(
+                    ti + d[0:3], quat.qboxplus(qi, d[3:6]),
+                    tj + d[6:9], quat.qboxplus(qj, d[9:12]),
+                    rel_t, rel_q,
+                )
+
+            z = jnp.zeros(12, dtype)
+            r = local(z)
+            Jl = jax.jacfwd(local)(z)
+            s = jnp.sum(r * r)
+            hw = jnp.where(
+                is_loop & (s > huber * huber),
+                jnp.sqrt(huber / jnp.maximum(jnp.sqrt(s), 1e-12)), 1.0,
+            )
+            r = jnp.where(ok, r * hw, 0.0)
+            Jl = jnp.where(ok, Jl * hw, 0.0)
+            row = jnp.zeros((6, NPAR), dtype)
+            zero = jnp.asarray(0, jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, Jl[:, 0:6], (zero, 6 * ei))
+            row = jax.lax.dynamic_update_slice(row, Jl[:, 6:12], (zero, 6 * ej))
+            return r, row
+
+        r, rows = jax.vmap(one)(edge_i, edge_j, edge_rel_t, edge_rel_q,
+                                edge_is_loop, edge_valid)
+        return r.reshape(-1), rows.reshape(-1, NPAR)
+
+    free = (node_valid & ~node_fixed).astype(dtype)
+    fm = jnp.repeat(free, 6)
+
+    def step(carry, _):
+        t, q, lm, cost = carry
+        r, J = residuals_and_rows(t, q)
+        J = J * fm[None, :]
+        H = J.T @ J
+        g = J.T @ r
+        damp = lm * jnp.maximum(jnp.diagonal(H), 1e-6) + (1.0 - fm)
+        L = jnp.linalg.cholesky(H + jnp.diag(damp))
+        dx = -jax.scipy.linalg.cho_solve((L, True), g) * fm
+        d = dx.reshape(K, 6)
+        t_n = t + d[:, 0:3]
+        q_n = quat.qboxplus(q, d[:, 3:6])
+        r_n, _ = residuals_and_rows(t_n, q_n)
+        new_cost = 0.5 * jnp.sum(r_n * r_n)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        t = jnp.where(accept, t_n, t)
+        q = jnp.where(accept, q_n, q)
+        lm = jnp.where(accept, lm * 0.3, lm * 5.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return (t, q, lm, cost), None
+
+    r0, _ = residuals_and_rows(t0, q0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+    (t, q, _, cost), _ = jax.lax.scan(
+        step, (t0, q0, jnp.asarray(1e-4, dtype), cost0), None, length=iters
+    )
+    return t, q, cost0, cost
+
+
+# ---------------------------------------------------------------------------
 # PoseGraph host class
 # ---------------------------------------------------------------------------
 

@@ -4,21 +4,22 @@ Replaces the reference's hottest frontend kernel, ``cv::calcOpticalFlowPyrLK``
 (21×21 window, maxLevel 1 with IMU-predicted initial flow / maxLevel 3
 without, 30 iterations, eps 0.01 —
 ``/root/reference/vins_estimator/src/feature_tracker/feature_tracker.cpp:
-298-311``).  Design: per-point 21×21 patches are gathered with bilinear
-sampling; the 2×2 normal equations solve in closed form; all points track
-simultaneously under ``vmap``; pyramid levels are a static Python loop so
-XLA sees a fixed program.
+298-311``).
+
+TPU-native design: a naive formulation gathers every patch pixel
+individually (~230k gathers/iteration — gathers serialize on TPU).  Here
+each point's patch is ONE ``dynamic_slice`` of an integer-anchored tile;
+the subpixel shift is applied inside the tile with four shifted-slab
+multiplies (pure VPU work).  All points track simultaneously under
+``vmap``; pyramid levels are a static Python loop.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-from .image import bilinear_sample
 
 
 class LKResult(NamedTuple):
@@ -27,11 +28,29 @@ class LKResult(NamedTuple):
     err: jax.Array  # (N,) mean abs residual of final patch
 
 
-def _patch_offsets(win: int, dtype):
-    h = win // 2
-    r = jnp.arange(-h, h + 1, dtype=dtype)
-    oy, ox = jnp.meshgrid(r, r, indexing="ij")
-    return ox.reshape(-1), oy.reshape(-1)  # (win²,)
+def _subpix_patch(img_padded: jax.Array, p: jax.Array, size: int, pad: int):
+    """(size, size) patch of bilinear samples at positions p + offsets,
+    offsets ∈ {-(size-1)/2 .. +(size-1)/2}² — via one integer-anchored
+    (size+1)² tile + fractional blend.
+
+    ``img_padded`` is the level image edge-padded by ``pad`` on all sides
+    (pad ≥ half+1), so in-image points never clamp-misalign; coordinates
+    are in the *unpadded* frame.  Far-out-of-image positions (diverged
+    tracks) clamp — their status dies anyway."""
+    H, W = img_padded.shape
+    half = (size - 1) // 2
+    base = jnp.floor(p)
+    fx = p[0] - base[0]
+    fy = p[1] - base[1]
+    x0 = jnp.clip(base[0].astype(jnp.int32) + pad - half, 0, W - size - 1)
+    y0 = jnp.clip(base[1].astype(jnp.int32) + pad - half, 0, H - size - 1)
+    tile = jax.lax.dynamic_slice(img_padded, (y0, x0), (size + 1, size + 1))
+    return (
+        tile[:-1, :-1] * (1 - fy) * (1 - fx)
+        + tile[:-1, 1:] * (1 - fy) * fx
+        + tile[1:, :-1] * fy * (1 - fx)
+        + tile[1:, 1:] * fy * fx
+    )
 
 
 def _track_level(
@@ -48,16 +67,16 @@ def _track_level(
 ):
     dtype = prev_img.dtype
     H, W = prev_img.shape
-    ox, oy = _patch_offsets(win + 2, dtype)  # sample (win+2)² for gradients
+    PS = win + 2  # extended patch for central-difference gradients
+    pad = PS // 2 + 2
+    prev_p = jnp.pad(prev_img, pad, mode="edge")
+    cur_p = jnp.pad(cur_img, pad, mode="edge")
 
     def one_point(p, u0, act):
-        px = p[0] + ox
-        py = p[1] + oy
-        patch_ext = bilinear_sample(prev_img, jnp.stack([px, py], -1))  # ((win+2)²,)
-        pe = patch_ext.reshape(win + 2, win + 2)
-        tmpl = pe[1:-1, 1:-1].reshape(-1)
-        Ix = ((pe[1:-1, 2:] - pe[1:-1, :-2]) * 0.5).reshape(-1)
-        Iy = ((pe[2:, 1:-1] - pe[:-2, 1:-1]) * 0.5).reshape(-1)
+        pe = _subpix_patch(prev_p, p, PS, pad)
+        tmpl = pe[1:-1, 1:-1]
+        Ix = (pe[1:-1, 2:] - pe[1:-1, :-2]) * 0.5
+        Iy = (pe[2:, 1:-1] - pe[:-2, 1:-1]) * 0.5
         Gxx = jnp.sum(Ix * Ix)
         Gxy = jnp.sum(Ix * Iy)
         Gyy = jnp.sum(Iy * Iy)
@@ -67,15 +86,10 @@ def _track_level(
         ok_eig = eig_min / (win * win) >= min_eig
         inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
 
-        oxs = ox.reshape(win + 2, win + 2)[1:-1, 1:-1].reshape(-1)
-        oys = oy.reshape(win + 2, win + 2)[1:-1, 1:-1].reshape(-1)
-
         def body(k, carry):
             u, done = carry
-            cx = p[0] + u[0] + oxs
-            cy = p[1] + u[1] + oys
-            curp = bilinear_sample(cur_img, jnp.stack([cx, cy], -1))
-            dI = curp - tmpl
+            cur = _subpix_patch(cur_p, p + u, PS, pad)[1:-1, 1:-1]
+            dI = cur - tmpl
             bx = jnp.sum(dI * Ix)
             by = jnp.sum(dI * Iy)
             du = jnp.stack([
@@ -88,15 +102,10 @@ def _track_level(
             return (u, done | small)
 
         u, _ = jax.lax.fori_loop(0, max_iters, body, (u0, ~(act & ok_eig)))
-        # final residual
-        fx = p[0] + u[0] + oxs
-        fy = p[1] + u[1] + oys
-        dfin = bilinear_sample(cur_img, jnp.stack([fx, fy], -1)) - tmpl
-        err = jnp.mean(jnp.abs(dfin))
+        fin = _subpix_patch(cur_p, p + u, PS, pad)[1:-1, 1:-1]
+        err = jnp.mean(jnp.abs(fin - tmpl))
         new_pos = p + u
         if check_border:
-            # only meaningful at the finest level: coarse pyramid images can
-            # be smaller than the window itself (sampling clamps at borders)
             half = win // 2
             inb = (
                 (new_pos[0] >= half) & (new_pos[0] < W - half)

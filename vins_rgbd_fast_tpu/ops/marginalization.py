@@ -195,9 +195,7 @@ def marginalize_old(
         )
     else:
         imu_m = imu
-    J, r = solver_mod.build_system(cfg, x, vis_m, imu_m, prior, gravity)
-    H = J.T @ J
-    b = J.T @ r
+    H, b = solver_mod.build_system(cfg, x, vis_m, imu_m, prior, gravity)
 
     drop, keep = drop_keep_old(cfg.maxf)
     new_pos = _shifted_positions_old(keep)

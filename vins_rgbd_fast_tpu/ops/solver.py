@@ -2,30 +2,29 @@
 
 The reference hands its window problem to Ceres (DENSE_SCHUR + DOGLEG,
 ≤8 iterations / ≤0.04 s, ``/root/reference/vins_estimator/src/estimator/
-estimator.cpp:1161-1363``) with factors added per feature/frame in Python-
-style loops.  Here the whole nonlinear solve is ONE fused XLA program:
+estimator.cpp:1161-1363``) with factors added per feature/frame in C++
+loops; its marginalization Hessian is assembled by 4 pthreads
+(``marginalization_factor.cpp:240-271``).
+
+TPU-native design — the whole nonlinear solve is ONE fused XLA program and
+the normal equations are assembled with **zero scatters**:
 
   * factor enumeration is a *static* (MAXF × FRAMES) grid for visual
     factors + WINDOW_SIZE IMU factors + one prior block, with validity
     masks instead of dynamic lists;
-  * all residuals/Jacobians evaluate as vmapped batches; each factor's
-    local Jacobian is placed into a dense row of the global (NR × NT)
-    Jacobian via ``dynamic_update_slice`` (the only dynamic index is the
-    feature's start frame);
-  * H = JᵀJ and g = Jᵀr are single MXU contractions — the reference's
-    4-thread Hessian-assembly shard/reduce (``marginalization_factor.cpp:
-    240-271``) collapses into one matmul;
+  * residuals/Jacobians evaluate as vmapped batches (autodiff through the
+    box-plus retraction);
+  * the only dynamic index in the problem — each feature's start frame —
+    is handled by one-hot contraction: every H/g block accumulation is an
+    einsum over the factor grid (MXU work), never a scatter (scatters
+    serialize on TPU and made a first version ~100× slower);
   * the LM loop (damped GN with accept/reject) runs under ``lax.scan``
-    with a fixed iteration budget, honoring the reference's realtime
-    envelope semantics (≤8 iterations);
+    with a fixed iteration budget (the reference's ≤8-iteration realtime
+    envelope); candidate costs use residual-only evaluation;
   * gauge freedom: frame-0 position/yaw re-anchored post-solve
     (``double2vector``, estimator.cpp:985-1111) and/or frozen via the
     free-parameter mask (VO mode fixes pose 0 like the reference's
     ``SetParameterBlockConstant``).
-
-Marginalization (Schur-complement prior with eigendecomposition square
-root, ``marginalization_factor.cpp:276-308``) lives in
-``ops/marginalization.py`` and reuses this module's system builder.
 """
 
 from __future__ import annotations
@@ -63,22 +62,15 @@ class SolverConfig:
     lm_up: float = 10.0
     lm_down: float = 0.1
     yaw_gauge: bool = True  # IMU mode post-solve re-anchoring
+    with_relo: bool = False  # append a relocalization pose block
 
     @property
     def nt(self) -> int:
+        return NX + self.maxf + (6 if self.with_relo else 0)
+
+    @property
+    def relo_off(self) -> int:
         return NX + self.maxf
-
-    @property
-    def n_proj_rows(self) -> int:
-        return 2 * self.maxf * FRAMES
-
-    @property
-    def n_imu_rows(self) -> int:
-        return 15 * WINDOW_SIZE
-
-    @property
-    def nr(self) -> int:
-        return NX + self.n_imu_rows + self.n_proj_rows
 
 
 class PriorFactor(NamedTuple):
@@ -122,97 +114,335 @@ class ImuData(NamedTuple):
     valid: jax.Array  # (WINDOW_SIZE,) bool
 
 
+class ReloData(NamedTuple):
+    """Fast-relocalization constraint (the reference's ``setReloFrame`` +
+    relo factors, estimator.cpp:1307-1346, 1728-1747): matched old-keyframe
+    observations tie an extra optimizable pose to current-window landmarks."""
+
+    active: jax.Array  # () bool
+    match_pts: jax.Array  # (MAXF, 2) old-frame normalized obs per feature row
+    match_valid: jax.Array  # (MAXF,) bool
+    P: jax.Array  # (3,) relo pose (optimized; init = old kf vio pose)
+    Q: jax.Array  # (4,)
+
+
+def empty_relo(maxf: int, dtype=jnp.float32) -> ReloData:
+    return ReloData(
+        active=jnp.asarray(False),
+        match_pts=jnp.zeros((maxf, 2), dtype),
+        match_valid=jnp.zeros((maxf,), bool),
+        P=jnp.zeros(3, dtype),
+        Q=quat.q_identity(dtype),
+    )
+
+
 # ---------------------------------------------------------------------------
-# System builder
+# Projection factors: batched residuals (+ optional Jacobians)
 # ---------------------------------------------------------------------------
 
 
-def _proj_rows(cfg: SolverConfig, x: WindowState, vis: VisualData):
-    """All (MAXF × FRAMES) projection factors -> (rows, residuals, weight)."""
+def _proj_meas(cfg: SolverConfig, x: WindowState, vis: VisualData, f, j, dtype):
+    i = vis.start[f]
+    return i, factors.ProjMeas(
+        pts_i=jnp.concatenate([vis.pts[f, i], jnp.ones((1,), dtype)]),
+        pts_j=jnp.concatenate([vis.pts[f, j], jnp.ones((1,), dtype)]),
+        vel_i=jnp.concatenate([vis.vel[f, i], jnp.zeros((1,), dtype)]),
+        vel_j=jnp.concatenate([vis.vel[f, j], jnp.zeros((1,), dtype)]),
+        td_i=vis.td_obs[f, i], td_j=vis.td_obs[f, j],
+        row_i=vis.row_scaled[f, i], row_j=vis.row_scaled[f, j],
+    )
+
+
+def _proj_grid(cfg: SolverConfig, x: WindowState, vis: VisualData, with_jac: bool):
+    """Evaluate all (MAXF × FRAMES) projection factors.
+
+    Returns (r (MAXF,F,2), Jl (MAXF,F,2,20) or None), weighted by the
+    Cauchy IRLS weight × validity, with masked factors hard-zeroed."""
     dtype = x.P.dtype
-    nt = cfg.nt
+
+    def one(f, j):
+        i, meas = _proj_meas(cfg, x, vis, f, j, dtype)
+        args = (x.P[i], x.Q[i], x.P[j], x.Q[j], x.tic, x.qic,
+                vis.inv_depth[f], x.td, meas)
+        ok = vis.valid[f] & vis.obs_mask[f, i] & vis.obs_mask[f, j] & (j != i)
+        if with_jac:
+            r, Jl = factors.projection_factor(*args)
+            r = jnp.where(ok, r, 0.0)
+            Jl = jnp.where(ok, Jl, 0.0)
+            w = factors.cauchy_weight(r[None], cfg.cauchy_c)[0, 0]
+            return r * w, Jl * w
+        r = factors.projection_residual(*args)
+        r = jnp.where(ok, r, 0.0)
+        w = factors.cauchy_weight(r[None], cfg.cauchy_c)[0, 0]
+        return r * w, jnp.zeros((), dtype)
 
     f_idx = jnp.arange(cfg.maxf)
     j_idx = jnp.arange(FRAMES)
+    r, Jl = jax.vmap(lambda f: jax.vmap(lambda j: one(f, j))(j_idx))(f_idx)
+    return (r, Jl) if with_jac else (r, None)
 
-    def one_factor(f, j):
+
+def _accumulate_proj(cfg: SolverConfig, vis: VisualData, r, Jl, H, g):
+    """Scatter-free accumulation of the projection-factor normal equations.
+
+    Block layout of the local Jacobian (factors.py): pose_i [0:6],
+    pose_j [6:12], ex [12:18], λ [18], td [19].  The dynamic pose_i index
+    becomes a one-hot contraction; the pose_j and λ indices coincide with
+    the grid axes, so their accumulations are plain axis reductions."""
+    dtype = H.dtype
+    maxf = cfg.maxf
+    Oi = jax.nn.one_hot(vis.start, FRAMES, dtype=dtype)  # (MAXF, 11)
+
+    Ji = Jl[..., 0:6]    # (F, J, 2, 6)
+    Jj = Jl[..., 6:12]
+    Je = Jl[..., 12:18]
+    Jlam = Jl[..., 18]   # (F, J, 2)
+    Jt = Jl[..., 19]
+
+    def blk(A, B):  # (F,J,2,a) x (F,J,2,b) -> (F,J,a,b)
+        return jnp.einsum("fjpa,fjpb->fjab", A, B)
+
+    M_ii = blk(Ji, Ji)
+    M_ij = blk(Ji, Jj)
+    M_jj = blk(Jj, Jj)
+    M_ie = blk(Ji, Je)
+    M_je = blk(Jj, Je)
+    M_ee = blk(Je, Je)
+
+    # --- pose-pose 66×66 block grid ---
+    Hpp = jnp.zeros((FRAMES, FRAMES, POSE_DIM, POSE_DIM), dtype)
+    diag_ii = jnp.einsum("fa,fjxy->axy", Oi, M_ii)
+    diag_jj = jnp.einsum("fjxy->jxy", M_jj)
+    cross_ij = jnp.einsum("fa,fbxy->abxy", Oi, M_ij)
+    eye_f = jnp.eye(FRAMES, dtype=dtype)
+    Hpp = Hpp + cross_ij + jnp.swapaxes(jnp.swapaxes(cross_ij, 0, 1), 2, 3)
+    Hpp = Hpp + jnp.einsum("ab,axy->abxy", eye_f, diag_ii + diag_jj)
+    Hpp66 = Hpp.transpose(0, 2, 1, 3).reshape(NP, NP)
+    H = H.at[:NP, :NP].add(Hpp66)
+
+    # --- pose-ex ---
+    Hpe = (jnp.einsum("fa,fjxy->axy", Oi, M_ie)
+           + jnp.einsum("fjxy->jxy", M_je)).reshape(NP, 6)
+    H = H.at[:NP, EX_OFF:EX_OFF + 6].add(Hpe)
+    H = H.at[EX_OFF:EX_OFF + 6, :NP].add(Hpe.T)
+    H = H.at[EX_OFF:EX_OFF + 6, EX_OFF:EX_OFF + 6].add(
+        jnp.einsum("fjxy->xy", M_ee))
+
+    # --- λ blocks (λ_f column index = NX + f; grid f axis = direct) ---
+    lam_lam = jnp.einsum("fjp,fjp->f", Jlam, Jlam)
+    H = H.at[jnp.arange(NX, NX + maxf), jnp.arange(NX, NX + maxf)].add(lam_lam)
+    # pose-λ: contributions at (pose i_f, λ_f) and (pose j, λ_f)
+    A_i = jnp.einsum("fjpx,fjp->fx", Ji, Jlam)  # (F,6) summed over j
+    A_j = jnp.einsum("fjpx,fjp->fjx", Jj, Jlam)  # (F,J,6)
+    Hplam = (jnp.einsum("fa,fx->axf", Oi, A_i)
+             + jnp.einsum("fjx->jxf", A_j)).reshape(NP, maxf)
+    H = H.at[:NP, NX:NX + maxf].add(Hplam)
+    H = H.at[NX:NX + maxf, :NP].add(Hplam.T)
+    # ex-λ
+    Helam = jnp.einsum("fjpx,fjp->xf", Je, Jlam)
+    H = H.at[EX_OFF:EX_OFF + 6, NX:NX + maxf].add(Helam)
+    H = H.at[NX:NX + maxf, EX_OFF:EX_OFF + 6].add(Helam.T)
+
+    # --- td row/col ---
+    t_t = jnp.einsum("fjp,fjp->", Jt, Jt)
+    H = H.at[TD_OFF, TD_OFF].add(t_t)
+    t_pose = (jnp.einsum("fa,fjpx,fjp->ax", Oi, Ji, Jt)
+              + jnp.einsum("fjpx,fjp->jx", Jj, Jt)).reshape(NP)
+    H = H.at[TD_OFF, :NP].add(t_pose)
+    H = H.at[:NP, TD_OFF].add(t_pose)
+    t_ex = jnp.einsum("fjpx,fjp->x", Je, Jt)
+    H = H.at[TD_OFF, EX_OFF:EX_OFF + 6].add(t_ex)
+    H = H.at[EX_OFF:EX_OFF + 6, TD_OFF].add(t_ex)
+    t_lam = jnp.einsum("fjp,fjp->f", Jlam, Jt)
+    H = H.at[TD_OFF, NX:NX + maxf].add(t_lam)
+    H = H.at[NX:NX + maxf, TD_OFF].add(t_lam)
+
+    # --- gradient ---
+    g_i = jnp.einsum("fjpx,fjp->fx", Ji, r)
+    g_j = jnp.einsum("fjpx,fjp->fjx", Jj, r)
+    g_pose = (jnp.einsum("fa,fx->ax", Oi, g_i)
+              + jnp.einsum("fjx->jx", g_j)).reshape(NP)
+    g = g.at[:NP].add(g_pose)
+    g = g.at[EX_OFF:EX_OFF + 6].add(jnp.einsum("fjpx,fjp->x", Je, r))
+    g = g.at[NX:NX + maxf].add(jnp.einsum("fjp,fjp->f", Jlam, r))
+    g = g.at[TD_OFF].add(jnp.einsum("fjp,fjp->", Jt, r))
+    return H, g
+
+
+# ---------------------------------------------------------------------------
+# Relocalization factors (extra pose block tied to window landmarks)
+# ---------------------------------------------------------------------------
+
+
+def _relo_grid(cfg: SolverConfig, x: WindowState, vis: VisualData,
+               relo: ReloData, with_jac: bool):
+    """One factor per matched feature: reprojection of the start-frame
+    landmark into the relo pose (local tangent reuses the projection layout
+    with pose_j := relo pose)."""
+    dtype = x.P.dtype
+
+    def one(f):
         i = vis.start[f]
         meas = factors.ProjMeas(
             pts_i=jnp.concatenate([vis.pts[f, i], jnp.ones((1,), dtype)]),
-            pts_j=jnp.concatenate([vis.pts[f, j], jnp.ones((1,), dtype)]),
-            vel_i=jnp.concatenate([vis.vel[f, i], jnp.zeros((1,), dtype)]),
-            vel_j=jnp.concatenate([vis.vel[f, j], jnp.zeros((1,), dtype)]),
-            td_i=vis.td_obs[f, i], td_j=vis.td_obs[f, j],
-            row_i=vis.row_scaled[f, i], row_j=vis.row_scaled[f, j],
+            pts_j=jnp.concatenate([relo.match_pts[f], jnp.ones((1,), dtype)]),
+            vel_i=jnp.zeros(3, dtype), vel_j=jnp.zeros(3, dtype),
+            td_i=x.td, td_j=x.td,
+            row_i=jnp.zeros((), dtype), row_j=jnp.zeros((), dtype),
         )
-        r, Jl = factors.projection_factor(
-            x.P[i], x.Q[i], x.P[j], x.Q[j], x.tic, x.qic,
-            vis.inv_depth[f], x.td, meas,
-        )
-        ok = vis.valid[f] & vis.obs_mask[f, i] & vis.obs_mask[f, j] & (j != i)
-        # hard-select (not multiply): masked rows must be exactly zero even if
-        # the padded data produced NaN/inf in the factor evaluation
+        args = (x.P[i], x.Q[i], relo.P, relo.Q, x.tic, x.qic,
+                vis.inv_depth[f], x.td, meas)
+        ok = relo.active & vis.valid[f] & vis.obs_mask[f, i] & relo.match_valid[f]
+        if with_jac:
+            r, Jl = factors.projection_factor(*args)
+            r = jnp.where(ok, r, 0.0)
+            Jl = jnp.where(ok, Jl, 0.0)
+            w = factors.cauchy_weight(r[None], cfg.cauchy_c)[0, 0]
+            return r * w, Jl * w
+        r = factors.projection_residual(*args)
         r = jnp.where(ok, r, 0.0)
-        Jl = jnp.where(ok, Jl, 0.0)
         w = factors.cauchy_weight(r[None], cfg.cauchy_c)[0, 0]
-        # place local J (2,20) into global row (2, NT)
-        zero = jnp.asarray(0, jnp.int32)
-        row = jnp.zeros((2, nt), dtype)
-        row = jax.lax.dynamic_update_slice(
-            row, Jl[:, 0:6], (zero, (POSE_DIM * i).astype(jnp.int32)))
-        row = jax.lax.dynamic_update_slice(
-            row, Jl[:, 6:12], (zero, (POSE_DIM * j).astype(jnp.int32)))
-        row = jax.lax.dynamic_update_slice(
-            row, Jl[:, 12:18], (zero, jnp.asarray(EX_OFF, jnp.int32)))
-        row = row.at[:, NX + f].set(Jl[:, 18])
-        row = row.at[:, TD_OFF].set(Jl[:, 19])
-        return row * w, r * w
+        return r * w, jnp.zeros((), dtype)
 
-    rows, res = jax.vmap(
-        lambda f: jax.vmap(lambda j: one_factor(f, j))(j_idx)
-    )(f_idx)
-    return rows.reshape(-1, nt), res.reshape(-1)
+    r, Jl = jax.vmap(one)(jnp.arange(cfg.maxf))
+    return (r, Jl) if with_jac else (r, None)
 
 
-def _imu_rows(cfg: SolverConfig, x: WindowState, imu: ImuData, gravity):
+def _accumulate_relo(cfg: SolverConfig, vis: VisualData, r, Jl, H, g):
+    """Scatter-free accumulation of the relo factors.  Blocks: pose_i
+    (one-hot over the feature's start frame), relo (static offset), ex,
+    λ (grid axis), td."""
+    dtype = H.dtype
+    maxf = cfg.maxf
+    RO = cfg.relo_off
+    Oi = jax.nn.one_hot(vis.start, FRAMES, dtype=dtype)  # (MAXF, 11)
+
+    Ji = Jl[..., 0:6]   # (F,2,6)
+    Jr = Jl[..., 6:12]  # relo block
+    Je = Jl[..., 12:18]
+    Jlam = Jl[..., 18]  # (F,2)
+    Jt = Jl[..., 19]
+
+    def blk(A, B):
+        return jnp.einsum("fpa,fpb->fab", A, B)
+
+    # pose-pose diagonal blocks (i,i)
+    Hpp = jnp.einsum("fa,fxy->axy", Oi, blk(Ji, Ji))
+    Hpp66 = jnp.einsum("ab,axy->abxy", jnp.eye(FRAMES, dtype=dtype), Hpp)
+    H = H.at[:NP, :NP].add(Hpp66.transpose(0, 2, 1, 3).reshape(NP, NP))
+    # pose-relo
+    Hpr = jnp.einsum("fa,fxy->axy", Oi, blk(Ji, Jr)).reshape(NP, 6)
+    H = H.at[:NP, RO:RO + 6].add(Hpr)
+    H = H.at[RO:RO + 6, :NP].add(Hpr.T)
+    # relo-relo
+    H = H.at[RO:RO + 6, RO:RO + 6].add(jnp.einsum("fxy->xy", blk(Jr, Jr)))
+    # ex couplings
+    Hpe = jnp.einsum("fa,fxy->axy", Oi, blk(Ji, Je)).reshape(NP, 6)
+    H = H.at[:NP, EX_OFF:EX_OFF + 6].add(Hpe)
+    H = H.at[EX_OFF:EX_OFF + 6, :NP].add(Hpe.T)
+    Hre = jnp.einsum("fxy->xy", blk(Jr, Je))
+    H = H.at[RO:RO + 6, EX_OFF:EX_OFF + 6].add(Hre)
+    H = H.at[EX_OFF:EX_OFF + 6, RO:RO + 6].add(Hre.T)
+    H = H.at[EX_OFF:EX_OFF + 6, EX_OFF:EX_OFF + 6].add(
+        jnp.einsum("fxy->xy", blk(Je, Je)))
+    # λ blocks (direct f axis)
+    lam_lam = jnp.einsum("fp,fp->f", Jlam, Jlam)
+    H = H.at[jnp.arange(NX, NX + maxf), jnp.arange(NX, NX + maxf)].add(lam_lam)
+    A_i = jnp.einsum("fpx,fp->fx", Ji, Jlam)
+    Hplam = jnp.einsum("fa,fx->axf", Oi, A_i).reshape(NP, maxf)
+    H = H.at[:NP, NX:NX + maxf].add(Hplam)
+    H = H.at[NX:NX + maxf, :NP].add(Hplam.T)
+    Hrlam = jnp.einsum("fpx,fp->xf", Jr, Jlam)
+    H = H.at[RO:RO + 6, NX:NX + maxf].add(Hrlam)
+    H = H.at[NX:NX + maxf, RO:RO + 6].add(Hrlam.T)
+    Helam = jnp.einsum("fpx,fp->xf", Je, Jlam)
+    H = H.at[EX_OFF:EX_OFF + 6, NX:NX + maxf].add(Helam)
+    H = H.at[NX:NX + maxf, EX_OFF:EX_OFF + 6].add(Helam.T)
+    # td row
+    H = H.at[TD_OFF, TD_OFF].add(jnp.einsum("fp,fp->", Jt, Jt))
+    t_pose = jnp.einsum("fa,fpx,fp->ax", Oi, Ji, Jt).reshape(NP)
+    H = H.at[TD_OFF, :NP].add(t_pose)
+    H = H.at[:NP, TD_OFF].add(t_pose)
+    t_relo = jnp.einsum("fpx,fp->x", Jr, Jt)
+    H = H.at[TD_OFF, RO:RO + 6].add(t_relo)
+    H = H.at[RO:RO + 6, TD_OFF].add(t_relo)
+    t_lam = jnp.einsum("fp,fp->f", Jlam, Jt)
+    H = H.at[TD_OFF, NX:NX + maxf].add(t_lam)
+    H = H.at[NX:NX + maxf, TD_OFF].add(t_lam)
+    # gradient
+    g_i = jnp.einsum("fpx,fp->fx", Ji, r)
+    g = g.at[:NP].add(jnp.einsum("fa,fx->ax", Oi, g_i).reshape(NP))
+    g = g.at[RO:RO + 6].add(jnp.einsum("fpx,fp->x", Jr, r))
+    g = g.at[EX_OFF:EX_OFF + 6].add(jnp.einsum("fpx,fp->x", Je, r))
+    g = g.at[NX:NX + maxf].add(jnp.einsum("fp,fp->f", Jlam, r))
+    g = g.at[TD_OFF].add(jnp.einsum("fp,fp->", Jt, r))
+    return H, g
+
+
+# ---------------------------------------------------------------------------
+# IMU factors (static placement — WINDOW_SIZE rows, no dynamic indices)
+# ---------------------------------------------------------------------------
+
+
+def _imu_sqrt_infos(imu: ImuData) -> jax.Array:
+    return jax.vmap(imupre.sqrt_information)(imu.pre)
+
+
+def _imu_batch(cfg: SolverConfig, x: WindowState, imu: ImuData, gravity,
+               sqrt_infos, with_jac: bool):
     dtype = x.P.dtype
-    nt = cfg.nt
 
-    def one_factor(j, pre_j, ok):
-        r, Jl = factors.imu_factor(
-            pre_j,
-            x.P[j], x.Q[j], x.V[j], x.Ba[j], x.Bg[j],
-            x.P[j + 1], x.Q[j + 1], x.V[j + 1], x.Ba[j + 1], x.Bg[j + 1],
-            gravity,
-        )
-        w = ok.astype(dtype)
+    def one(j, pre_j, W, ok):
+        args = (pre_j,
+                x.P[j], x.Q[j], x.V[j], x.Ba[j], x.Bg[j],
+                x.P[j + 1], x.Q[j + 1], x.V[j + 1], x.Ba[j + 1], x.Bg[j + 1],
+                gravity, W)
+        zeros = jnp.zeros(factors.IMU_TANGENT, dtype)
+        r = factors.imu_residual_retracted(zeros, *args)
         r = jnp.where(ok, r, 0.0)
-        Jl = jnp.where(ok, Jl, 0.0)
-        zero = jnp.asarray(0, jnp.int32)
-        ji = j.astype(jnp.int32)
-        row = jnp.zeros((15, nt), dtype)
-        row = jax.lax.dynamic_update_slice(row, Jl[:, 0:6], (zero, POSE_DIM * ji))
-        row = jax.lax.dynamic_update_slice(row, Jl[:, 6:15], (zero, NP + SB_DIM * ji))
-        row = jax.lax.dynamic_update_slice(row, Jl[:, 15:21], (zero, POSE_DIM * (ji + 1)))
-        row = jax.lax.dynamic_update_slice(row, Jl[:, 21:30], (zero, NP + SB_DIM * (ji + 1)))
-        return row * w, r * w
+        if with_jac:
+            Jl = jax.jacfwd(factors.imu_residual_retracted)(zeros, *args)
+            Jl = jnp.where(ok, Jl, 0.0)
+            return r, Jl
+        return r, jnp.zeros((), dtype)
 
-    rows, res = jax.vmap(one_factor)(jnp.arange(WINDOW_SIZE), imu.pre, imu.valid)
-    return rows.reshape(-1, nt), res.reshape(-1)
+    r, Jl = jax.vmap(one)(jnp.arange(WINDOW_SIZE), imu.pre, sqrt_infos, imu.valid)
+    return (r, Jl) if with_jac else (r, None)
 
 
-def _prior_rows(cfg: SolverConfig, x: WindowState, prior: PriorFactor):
+def _accumulate_imu(cfg: SolverConfig, r, Jl, H, g):
+    """Static-slice accumulation of the 10 IMU factors (rows form)."""
+    dtype = H.dtype
+    rows = jnp.zeros((WINDOW_SIZE, 15, cfg.nt), dtype)
+    for j in range(WINDOW_SIZE):  # static offsets — pure pads, no scatter
+        rows = rows.at[j, :, POSE_DIM * j:POSE_DIM * (j + 1)].set(Jl[j, :, 0:6])
+        rows = rows.at[j, :, NP + SB_DIM * j:NP + SB_DIM * (j + 1)].set(Jl[j, :, 6:15])
+        rows = rows.at[j, :, POSE_DIM * (j + 1):POSE_DIM * (j + 2)].set(Jl[j, :, 15:21])
+        rows = rows.at[j, :, NP + SB_DIM * (j + 1):NP + SB_DIM * (j + 2)].set(Jl[j, :, 21:30])
+    R = rows.reshape(-1, cfg.nt)
+    H = H + R.T @ R
+    g = g + R.T @ r.reshape(-1)
+    return H, g
+
+
+# ---------------------------------------------------------------------------
+# Prior
+# ---------------------------------------------------------------------------
+
+
+def _prior_residual(cfg: SolverConfig, x: WindowState, prior: PriorFactor):
     dtype = x.P.dtype
     dx = boxminus(x, prior.x0)
-    r = prior.r0 + prior.J @ dx
-    w = prior.valid.astype(dtype)
-    rows = jnp.concatenate(
-        [prior.J, jnp.zeros((NX, cfg.maxf), dtype)], axis=1
-    ) * w
-    return rows, r * w
+    return (prior.r0 + prior.J @ dx) * prior.valid.astype(dtype)
 
 
-def free_mask(cfg: SolverConfig, vis: VisualData, dtype, td_free=None) -> jax.Array:
+# ---------------------------------------------------------------------------
+# Assembly entry points
+# ---------------------------------------------------------------------------
+
+
+def free_mask(cfg: SolverConfig, vis: VisualData, dtype, td_free=None,
+              relo_active=None) -> jax.Array:
     """(NT,) 1.0 for free tangent dims, 0.0 for frozen (the reference's
     SetParameterBlockConstant calls, estimator.cpp:1174-1212).
 
@@ -229,7 +459,71 @@ def free_mask(cfg: SolverConfig, vis: VisualData, dtype, td_free=None) -> jax.Ar
         m = m.at[TD_OFF].set(0.0)
     elif td_free is not None:
         m = m.at[TD_OFF].set(td_free.astype(dtype))
-    return m.at[NX:].set(vis.depth_free.astype(dtype))
+    m = m.at[NX:NX + cfg.maxf].set(vis.depth_free.astype(dtype))
+    if cfg.with_relo:
+        ra = jnp.asarray(1.0, dtype) if relo_active is None else relo_active.astype(dtype)
+        m = m.at[cfg.relo_off:cfg.relo_off + 6].set(ra)
+    return m
+
+
+def normal_equations(
+    cfg: SolverConfig,
+    x: WindowState,
+    vis: VisualData,
+    imu: Optional[ImuData],
+    prior: PriorFactor,
+    gravity: jax.Array,
+    sqrt_infos: Optional[jax.Array] = None,
+    relo: Optional[ReloData] = None,
+):
+    """Assemble (H (NT,NT), g (NT,), cost) — one pass, scatter-free."""
+    dtype = x.P.dtype
+    nt = cfg.nt
+    H = jnp.zeros((nt, nt), dtype)
+    g = jnp.zeros((nt,), dtype)
+
+    rp = _prior_residual(cfg, x, prior)
+    Jp = prior.J * prior.valid.astype(dtype)
+    H = H.at[:NX, :NX].add(Jp.T @ Jp)
+    g = g.at[:NX].add(Jp.T @ rp)
+    cost = jnp.sum(rp * rp)
+
+    r_proj, Jl_proj = _proj_grid(cfg, x, vis, with_jac=True)
+    H, g = _accumulate_proj(cfg, vis, r_proj, Jl_proj, H, g)
+    cost = cost + jnp.sum(r_proj * r_proj)
+
+    if cfg.with_relo and relo is not None:
+        r_rl, Jl_rl = _relo_grid(cfg, x, vis, relo, with_jac=True)
+        H, g = _accumulate_relo(cfg, vis, r_rl, Jl_rl, H, g)
+        cost = cost + jnp.sum(r_rl * r_rl)
+
+    if cfg.use_imu and imu is not None:
+        if sqrt_infos is None:
+            sqrt_infos = _imu_sqrt_infos(imu)
+        r_imu, Jl_imu = _imu_batch(cfg, x, imu, gravity, sqrt_infos, with_jac=True)
+        H, g = _accumulate_imu(cfg, r_imu, Jl_imu, H, g)
+        cost = cost + jnp.sum(r_imu * r_imu)
+
+    return H, g, 0.5 * cost
+
+
+def total_cost(cfg, x, lam_vec, vis, imu, prior, gravity, sqrt_infos=None,
+               relo=None):
+    """Residual-only cost (no Jacobians) for LM accept/reject."""
+    vis_c = vis._replace(inv_depth=lam_vec)
+    rp = _prior_residual(cfg, x, prior)
+    cost = jnp.sum(rp * rp)
+    r_proj, _ = _proj_grid(cfg, x, vis_c, with_jac=False)
+    cost = cost + jnp.sum(r_proj * r_proj)
+    if cfg.with_relo and relo is not None:
+        r_rl, _ = _relo_grid(cfg, x, vis_c, relo, with_jac=False)
+        cost = cost + jnp.sum(r_rl * r_rl)
+    if cfg.use_imu and imu is not None:
+        if sqrt_infos is None:
+            sqrt_infos = _imu_sqrt_infos(imu)
+        r_imu, _ = _imu_batch(cfg, x, imu, gravity, sqrt_infos, with_jac=False)
+        cost = cost + jnp.sum(r_imu * r_imu)
+    return 0.5 * cost
 
 
 def build_system(
@@ -240,24 +534,13 @@ def build_system(
     prior: PriorFactor,
     gravity: jax.Array,
 ):
-    """Assemble the dense whitened system: J (NR,NT), r (NR,)."""
-    dtype = x.P.dtype
-    pr_rows, pr_res = _prior_rows(cfg, x, prior)
-    vi_rows, vi_res = _proj_rows(cfg, x, vis)
-    if cfg.use_imu:
-        im_rows, im_res = _imu_rows(cfg, x, imu, gravity)
-    else:
-        im_rows = jnp.zeros((cfg.n_imu_rows, cfg.nt), dtype)
-        im_res = jnp.zeros((cfg.n_imu_rows,), dtype)
-    J = jnp.concatenate([pr_rows, im_rows, vi_rows], axis=0)
-    r = jnp.concatenate([pr_res, im_res, vi_res])
-    return J, r
+    """Dense-row system (NR × NT) — kept for marginalization H/b assembly
+    and testing; the hot LM path uses ``normal_equations`` instead.
 
-
-def _cost(cfg, x, lam_vec, vis, imu, prior, gravity):
-    vis2 = vis._replace(inv_depth=lam_vec)
-    _, r = build_system(cfg, x, vis2, imu, prior, gravity)
-    return 0.5 * jnp.sum(r * r)
+    Note: H = JᵀJ, b = Jᵀr of this system equal the normal_equations
+    output by construction."""
+    H, g, _ = normal_equations(cfg, x, vis, imu, prior, gravity)
+    return H, g
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +554,8 @@ class SolveResult(NamedTuple):
     cost0: jax.Array
     cost: jax.Array
     iters_accepted: jax.Array
+    relo_P: Optional[jax.Array] = None  # optimized relo pose (with_relo)
+    relo_Q: Optional[jax.Array] = None
 
 
 def solve(
@@ -281,6 +566,7 @@ def solve(
     prior: PriorFactor,
     gravity: jax.Array,
     td_free=None,
+    relo: Optional[ReloData] = None,
 ) -> SolveResult:
     """Damped Gauss-Newton with accept/reject, ≤``max_iters`` steps.
 
@@ -288,19 +574,21 @@ def solve(
     8-iteration/0.04 s budget (estimator.cpp:1348-1363); trust-region
     control via the LM multiplier."""
     dtype = x0.P.dtype
-    fm = free_mask(cfg, vis, dtype, td_free)
-
-    def eval_cost(x, lam_vec):
-        return _cost(cfg, x, lam_vec, vis, imu, prior, gravity)
+    if cfg.with_relo and relo is None:
+        relo = empty_relo(cfg.maxf, dtype)
+    relo_active = relo.active if (cfg.with_relo and relo is not None) else None
+    fm = free_mask(cfg, vis, dtype, td_free, relo_active)
+    sqrt_infos = _imu_sqrt_infos(imu) if (cfg.use_imu and imu is not None) else None
+    RO = cfg.relo_off
 
     def step(carry, _):
-        x, lam_vec, lm, cost = carry
+        x, lam_vec, rP, rQ, lm, cost = carry
         vis_c = vis._replace(inv_depth=lam_vec)
-        J, r = build_system(cfg, x, vis_c, imu, prior, gravity)
-        J = J * fm[None, :]
-        H = J.T @ J
-        g = J.T @ r
-        # LM damping on the diagonal (scale-aware) + unit diag for frozen dims
+        relo_c = relo._replace(P=rP, Q=rQ) if cfg.with_relo else None
+        H, g, _ = normal_equations(cfg, x, vis_c, imu, prior, gravity,
+                                   sqrt_infos, relo_c)
+        H = H * fm[None, :] * fm[:, None]
+        g = g * fm
         diag = jnp.diagonal(H)
         damp = lm * jnp.maximum(diag, 1e-6) + (1.0 - fm)
         Hd = H + jnp.diag(damp)
@@ -308,22 +596,37 @@ def solve(
         dx = -jax.scipy.linalg.cho_solve((L, True), g)
         dx = dx * fm
         x_new = boxplus(x, dx[:NX])
-        lam_new = lam_vec + dx[NX:]
-        new_cost = eval_cost(x_new, lam_new)
+        lam_new = lam_vec + dx[NX:NX + cfg.maxf]
+        if cfg.with_relo:
+            rP_new = rP + dx[RO:RO + 3]
+            rQ_new = quat.qboxplus(rQ, dx[RO + 3:RO + 6])
+            relo_new = relo._replace(P=rP_new, Q=rQ_new)
+        else:
+            rP_new, rQ_new, relo_new = rP, rQ, None
+        new_cost = total_cost(cfg, x_new, lam_new, vis, imu, prior, gravity,
+                              sqrt_infos, relo_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         x = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_new)
         lam_vec = jnp.where(accept, lam_new, lam_vec)
+        rP = jnp.where(accept, rP_new, rP)
+        rQ = jnp.where(accept, rQ_new, rQ)
         lm = jnp.where(accept, lm * cfg.lm_down, lm * cfg.lm_up)
         cost = jnp.where(accept, new_cost, cost)
-        return (x, lam_vec, lm, cost), accept
+        return (x, lam_vec, rP, rQ, lm, cost), accept
 
-    cost0 = eval_cost(x0, vis.inv_depth)
-    init = (x0, vis.inv_depth, jnp.asarray(cfg.lm_lambda0, dtype), cost0)
-    (x, lam_vec, _, cost), accepts = jax.lax.scan(step, init, None, length=cfg.max_iters)
+    rP0 = relo.P if cfg.with_relo else jnp.zeros(3, dtype)
+    rQ0 = relo.Q if cfg.with_relo else quat.q_identity(dtype)
+    cost0 = total_cost(cfg, x0, vis.inv_depth, vis, imu, prior, gravity,
+                       sqrt_infos, relo)
+    init = (x0, vis.inv_depth, rP0, rQ0, jnp.asarray(cfg.lm_lambda0, dtype), cost0)
+    (x, lam_vec, rP, rQ, _, cost), accepts = jax.lax.scan(
+        step, init, None, length=cfg.max_iters)
 
     if cfg.yaw_gauge and cfg.use_imu and not cfg.fix_pose0:
         x = yaw_gauge_fix(x, x0)
     return SolveResult(
         x=x, inv_depth=lam_vec, cost0=cost0, cost=cost,
         iters_accepted=jnp.sum(accepts),
+        relo_P=rP if cfg.with_relo else None,
+        relo_Q=rQ if cfg.with_relo else None,
     )

@@ -37,6 +37,7 @@ class VinsPipeline:
             min_dist=vcfg.min_dist,
             grid_rows=vcfg.num_grid_rows, grid_cols=vcfg.num_grid_cols,
             f_threshold=vcfg.f_threshold, equalize=vcfg.equalize,
+            fisheye=vcfg.fisheye,
             use_imu_prediction=vcfg.imu,
         )
         self.tracker_state = ft.init_state(self.tcfg, dtype)
@@ -53,6 +54,17 @@ class VinsPipeline:
         self._imu_for_predict: list = []  # (t, gyr)
         self._bg_cache = np.zeros(3)
         self._depth_lookup = jax.jit(ft.lookup_depth)
+
+        # loop closure (the reference's second nodelet), optional
+        self.pose_graph = None
+        if vcfg.loop_closure:
+            from .loop.pose_graph import PoseGraph, PoseGraphConfig
+
+            self.pose_graph = PoseGraph(
+                PoseGraphConfig(max_wp=vcfg.feature_capacity),
+                self.cam, vcfg.ric_matrix(), vcfg.tic_vector(),
+            )
+            self._kf_travel_anchor: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def push_imu(self, t: float, acc, gyr):
@@ -140,7 +152,50 @@ class VinsPipeline:
 
         with self.timer.stage("backend"):
             out = self.estimator.process_features(feats, t)
+
+        if self.pose_graph is not None and out is not None and isinstance(out, dict):
+            self._maybe_add_keyframe(out, frame, t)
         return out
+
+    # ------------------------------------------------------------------
+    def _maybe_add_keyframe(self, out: dict, frame, t: float,
+                            skip_dis: float = 0.0):
+        """Feed a keyframe to the pose graph (travel-distance gated like
+        ``pose_graph_nodelet.cpp:522``); publishes drift-corrected path."""
+        if not out.get("is_keyframe"):
+            return
+        P = np.asarray(out["P"])
+        if self._kf_travel_anchor is not None and skip_dis > 0:
+            if np.linalg.norm(P - self._kf_travel_anchor) < skip_dis:
+                return
+        self._kf_travel_anchor = P
+        wp_world, wp_uv, wp_norm, valid = est.keyframe_points(
+            self.estimator.cfg, self.estimator.state
+        )
+        with self.timer.stage("pose_graph"):
+            info = self.pose_graph.add_keyframe(
+                np.asarray(jnp.asarray(frame.image, self.dtype)), t,
+                P, np.asarray(out["Q"]),
+                np.asarray(wp_world), np.asarray(wp_uv), np.asarray(wp_norm),
+                np.asarray(valid),
+            )
+        if info is not None and self.vcfg.fast_relocalization:
+            # feed the matched old-keyframe observations back into the
+            # sliding window as relo factors (the reference's
+            # /pose_graph/match_points round trip)
+            old = self.pose_graph.keyframes[info["old"]]
+            self.estimator.set_relo_frame(
+                info["matched_old_norm"], info["inlier_mask"],
+                old.P_vio, old.Q_vio,
+            )
+
+    def corrected_trajectory(self) -> list:
+        """Loop-corrected keyframe path (the reference's
+        ``vins_result_loop.csv`` analog); empty when loop closure is off."""
+        if self.pose_graph is None:
+            return []
+        return [dict(t=t, P=P, Q=Q, V=np.zeros(3))
+                for (t, P, Q) in self.pose_graph.path()]
 
     def run(self, max_frames: int = 10 ** 9) -> list:
         """Drain the stream; returns the trajectory list."""
