@@ -7,6 +7,12 @@ Prints ONE JSON line:
 Baseline: the reference (VINS-RGBD-FAST) is engineered to run real-time at
 its frontend input cap — 20-30 Hz on embedded CPUs (config
 frontend_freq, BASELINE.md).  vs_baseline = fps / 30.
+
+Modes (BENCH_MODE env):
+  latency  (default) — one sequence, per-frame dispatch; fps = 1/latency
+  batched            — BENCH_BATCH independent sequences vmapped per chip
+                       (the framework's throughput-scaling axis); fps =
+                       aggregate frames/sec/chip
 """
 
 import json
@@ -104,10 +110,146 @@ def main():
         "backend": jax.default_backend(),
         "ate_m": round(ate, 4) if np.isfinite(ate) else None,
         "frames": len(traj),
-        "stage_ms": {k: round(v, 2) for k, v in pipe.timer.summary().items()},
+    }
+    print(json.dumps(result))
+
+
+def main_batched():
+    """Throughput mode: B independent synthetic sequences vmapped per chip.
+
+    Per-sequence warmup runs the normal pipeline until steady state; then
+    the batched tracker+backend programs process all sequences per frame
+    with no host syncs."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    from functools import partial
+
+    from vins_rgbd_fast_tpu.config import VinsConfig
+    from vins_rgbd_fast_tpu.io import synthetic as syn
+    from vins_rgbd_fast_tpu.io import stream as io_stream
+    from vins_rgbd_fast_tpu.pipeline import VinsPipeline
+    from vins_rgbd_fast_tpu.backend import estimator as est
+    from vins_rgbd_fast_tpu.frontend import feature_tracker as ft
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    warmup = 14  # fill window + init + settle
+
+    rig = syn.SyntheticRig(width=640, height=480, fx=460.0, fy=460.0,
+                           cx=320.0, cy=240.0, imu_rate=200.0, frame_rate=20.0)
+    seqs = [syn.make_trajectory(n_frames, rig, seed=100 + b, omega_scale=0.15,
+                                acc_scale=0.3) for b in range(B)]
+    cfgs = [VinsConfig(
+        imu=True, static_init=True,
+        image_width=640, image_height=480,
+        intrinsics=(rig.fx, rig.fy, rig.cx, rig.cy), distortion=(0, 0, 0, 0),
+        ric=tuple(s.ric.ravel().tolist()), tic=tuple(s.tic.tolist()),
+        max_cnt=130, min_dist=30, num_grid_rows=7, num_grid_cols=8,
+        frontend_freq=0.0, freq=0.0, fix_depth=True, depth_max_dist=12.0,
+        acc_n=0.1, gyr_n=0.01, acc_w=1e-4, gyr_w=1e-5, max_imu_per_frame=32,
+    ) for s in seqs]
+
+    # pre-render device-resident frames per sequence
+    frames = []
+    for s in seqs:
+        fr = []
+        for (t, img, depth) in syn.frames(s, rig):
+            fr.append((t, img, depth))
+        frames.append(fr)
+
+    # per-sequence warmup through the normal pipeline
+    pipes = []
+    for b in range(B):
+        p = VinsPipeline(cfgs[b], dtype=jnp.float32, eager_outputs=False,
+                         failure_check_interval=10 ** 9)
+        for (t, a, w) in seqs[b].imu:
+            p.push_imu(t, a, w)
+        for (t, img, depth) in frames[b][:warmup]:
+            p.push_image(t, img)
+            p.push_depth(t, depth)
+            p.spin_once()
+        pipes.append(p)
+    jax.block_until_ready(pipes[-1].estimator.state.x.P)
+    _ = np.asarray(pipes[-1].estimator.state.x.P)  # readback handshake
+
+    # batch the states
+    stack = lambda trees: jax.tree.map(lambda *a: jnp.stack(a), *trees)
+    est_states = stack([p.estimator.state for p in pipes])
+    trk_states = stack([p.tracker_state for p in pipes])
+    ecfg = pipes[0].estimator.cfg
+    tcfg = pipes[0].tcfg
+    cam = pipes[0].cam
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    vt = jax.jit(jax.vmap(
+        lambda st, img, t, rel, key: ft.track_frame(tcfg, cam, st, img, t, rel, key)
+    ))
+    vlookup = jax.jit(jax.vmap(ft.lookup_depth))
+    vb = jax.jit(jax.vmap(
+        lambda st, feats, imu, key: est.vio_step(ecfg, st, feats, imu, key)
+    ))
+
+    def one_step(k, trk_states, est_states, timed_outs):
+        imgs = jnp.stack([frames[b][k][1] for b in range(B)])
+        depths = jnp.stack([frames[b][k][2] for b in range(B)])
+        ts = jnp.asarray([frames[b][k][0] for b in range(B)], jnp.float32)
+        rels = np.stack([
+            pipes[b]._predict_relative_R(frames[b][k - 1][0], frames[b][k][0])
+            for b in range(B)
+        ]).astype(np.float32)
+        ivs = [pipes[b].estimator._collect_interval(frames[b][k - 1][0],
+                                                    frames[b][k][0])
+               for b in range(B)]
+        ivb = stack(ivs)
+        trk_states, touts = vt(trk_states, imgs, ts, jnp.asarray(rels), keys)
+        feats = touts.features
+        depth = vlookup(depths, feats.uv, feats.ids >= 0)
+        feats = feats._replace(depth=depth)
+        est_states, souts = vb(est_states, feats, ivb, keys)
+        timed_outs.append(souts)
+        return trk_states, est_states
+
+    # compile warmup for the batched programs (one untimed step)
+    _warm = []
+    trk_states, est_states = one_step(warmup, trk_states, est_states, _warm)
+    jax.block_until_ready(est_states.x.P)
+
+    outs = []
+    t0 = time.perf_counter()
+    for k in range(warmup + 1, n_frames):
+        trk_states, est_states = one_step(k, trk_states, est_states, outs)
+    jax.block_until_ready(est_states.x.P)
+    elapsed = time.perf_counter() - t0
+    n_timed = (n_frames - warmup - 1) * B
+    fps = n_timed / elapsed if elapsed > 0 else 0.0
+
+    # accuracy: ATE of sequence 0 over the timed span
+    host = jax.device_get(jax.tree.map(lambda *a: jnp.stack(a), *outs))
+    ts0 = [frames[0][k][0] for k in range(warmup + 1, n_frames)]
+    P0 = [np.asarray(host.P[i, 0]) for i in range(len(ts0))]
+    ate = io_stream.ate_rmse(ts0, P0, seqs[0].times, seqs[0].P, align=False)
+
+    result = {
+        "metric": "vio_fps_per_chip_640x480_rgbd_batched",
+        "value": round(fps, 2),
+        "unit": "frames/s (aggregate, %d sequences)" % B,
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "backend": jax.default_backend(),
+        "ate_m": round(float(ate), 4) if np.isfinite(ate) else None,
+        "frames": n_timed,
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "latency") == "batched":
+        main_batched()
+    else:
+        main()

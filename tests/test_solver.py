@@ -144,10 +144,18 @@ def test_schur_prior_matches_dense_conditioning():
     b = rng.normal(size=nt)
     drop, keep = marg.drop_keep_old(MAXF)
     new_pos = marg._shifted_positions_old(keep)
-    J_new, r_new = marg._schur_sqrt_prior(
-        jnp.asarray(H), jnp.asarray(b),
-        jnp.asarray(drop), jnp.asarray(keep), jnp.asarray(new_pos), jnp.float64,
-    )
+    # both square-root backends must reproduce the exact Schur complement
+    for method in ("eigh", "chol"):
+        J_new, r_new = marg._schur_sqrt_prior(
+            jnp.asarray(H), jnp.asarray(b),
+            jnp.asarray(drop), jnp.asarray(keep), jnp.asarray(new_pos),
+            jnp.float64, method=method,
+        )
+        _check_schur(H, b, drop, keep, new_pos, J_new, r_new,
+                     rtol=(1e-6 if method == "eigh" else 1e-5))
+
+
+def _check_schur(H, b, drop, keep, new_pos, J_new, r_new, rtol=1e-6):
     # numpy dense Schur
     Hdd = H[np.ix_(drop, drop)]
     Hkd = H[np.ix_(keep, drop)]
@@ -163,8 +171,8 @@ def test_schur_prior_matches_dense_conditioning():
     g_embed = np.zeros(NX)
     S_embed[np.ix_(new_pos, new_pos)] = S
     g_embed[new_pos] = g
-    np.testing.assert_allclose(JtJ, S_embed, atol=1e-6 * np.abs(S).max())
-    np.testing.assert_allclose(Jtr, g_embed, atol=1e-6 * np.abs(g).max())
+    np.testing.assert_allclose(JtJ, S_embed, atol=rtol * np.abs(S).max())
+    np.testing.assert_allclose(Jtr, g_embed, atol=rtol * np.abs(g).max())
 
 
 def test_marginalize_old_keeps_window_consistent():

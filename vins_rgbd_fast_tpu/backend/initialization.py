@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import quaternion as quat
-from ..ops import imu_preintegration as imupre
 from .state import FRAMES, WINDOW_SIZE
 
 

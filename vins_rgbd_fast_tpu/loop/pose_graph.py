@@ -117,6 +117,20 @@ def extract_keyframe_features(
 # ---------------------------------------------------------------------------
 
 
+
+def _f32_matmul(fn):
+    """Force f32 matmul precision (TPU bf16 default corrupts LM normal
+    equations; see backend.estimator._f32_matmul)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 def _ypr_R(yaw_deg, pitch_deg, roll_deg):
     return quat.ypr2R(jnp.stack([yaw_deg, pitch_deg, roll_deg], axis=-1))
 
@@ -134,6 +148,7 @@ def _edge_residual(yaw_i, t_i, yaw_j, t_j, meas):
 
 
 @partial(jax.jit, static_argnames=("n_nodes_static", "iters"))
+@_f32_matmul
 def optimize_4dof(
     yaw0: jax.Array,  # (K,) degrees (VIO)
     t0: jax.Array,  # (K,3)
@@ -231,6 +246,7 @@ def optimize_4dof(
 
 
 @partial(jax.jit, static_argnames=("n_nodes_static", "iters"))
+@_f32_matmul
 def optimize_6dof(
     t0: jax.Array,  # (K,3)
     q0: jax.Array,  # (K,4) wxyz

@@ -86,8 +86,12 @@ def _track_level(
         ok_eig = eig_min / (win * win) >= min_eig
         inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
 
-        def body(k, carry):
-            u, done = carry
+        def cond(carry):
+            k, u, done = carry
+            return (k < max_iters) & ~done
+
+        def body(carry):
+            k, u, done = carry
             cur = _subpix_patch(cur_p, p + u, PS, pad)[1:-1, 1:-1]
             dI = cur - tmpl
             bx = jnp.sum(dI * Ix)
@@ -98,10 +102,13 @@ def _track_level(
             ])
             u_new = u - du
             small = jnp.sum(du * du) < eps * eps
-            u = jnp.where(done, u, u_new)
-            return (u, done | small)
+            return (k + 1, u_new, small)
 
-        u, _ = jax.lax.fori_loop(0, max_iters, body, (u0, ~(act & ok_eig)))
+        # early-exit while_loop: LK typically converges in <10 iterations;
+        # a fixed fori would pay full per-iteration overhead 30× per level
+        _, u, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), u0, ~(act & ok_eig))
+        )
         fin = _subpix_patch(cur_p, p + u, PS, pad)[1:-1, 1:-1]
         err = jnp.mean(jnp.abs(fin - tmpl))
         new_pos = p + u

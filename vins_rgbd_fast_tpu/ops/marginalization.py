@@ -29,11 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from ..backend.state import (
-    FRAMES, WINDOW_SIZE, NP, NX, EX_OFF, TD_OFF, POSE_DIM, SB_DIM, WindowState,
+    WINDOW_SIZE, NP, NX, EX_OFF, POSE_DIM, SB_DIM, WindowState,
 )
 from ..utils import quaternion as quat
 from . import solver as solver_mod
-from .solver import PriorFactor, SolverConfig, VisualData, ImuData
+from .solver import PriorFactor, SolverConfig, VisualData
 
 EIG_EPS = 1e-8  # reference marginalization_factor.h:75
 
@@ -136,9 +136,21 @@ def shift_state_new(x: WindowState) -> WindowState:
 # ---------------------------------------------------------------------------
 
 
-def _schur_sqrt_prior(H, b, drop_idx, keep_idx, new_pos, dtype):
-    """Eliminate drop dims; return (J', r', row_count_mask) embedded in the
-    post-slide NX layout."""
+def _schur_sqrt_prior(H, b, drop_idx, keep_idx, new_pos, dtype,
+                      method: str = "chol"):
+    """Eliminate drop dims; return (J', r') embedded in the post-slide NX
+    layout.
+
+    method="eigh": the reference's eigendecomposition pseudo-inverse +
+    eigen square root (exact rank handling; TPU eigh is Jacobi-slow).
+    method="chol" (default): jittered Cholesky factors — (Hdd+ε)⁻¹ via
+    triangular solves and J' = chol(A'+ε)ᵀ.  The jitter is *diagonal-
+    relative* (information scales span ~10 orders between bias-walk and
+    pose dims; an absolute εI would dump artificial information on the
+    weak/gauge directions), which the per-solve yaw/position re-anchoring
+    absorbs.  Much faster than eigh on TPU — and `vmap(lax.cond)` executes
+    BOTH marginalization branches, so this runs every frame in batched
+    mode."""
     Hdd = H[jnp.ix_(drop_idx, drop_idx)]
     Hkd = H[jnp.ix_(keep_idx, drop_idx)]
     Hkk = H[jnp.ix_(keep_idx, keep_idx)]
@@ -146,25 +158,41 @@ def _schur_sqrt_prior(H, b, drop_idx, keep_idx, new_pos, dtype):
     bk = b[keep_idx]
 
     Hdd = 0.5 * (Hdd + Hdd.T)
-    # eigendecomposition pseudo-inverse (reference .cpp:276-296)
-    w, V = jnp.linalg.eigh(Hdd)
-    winv = jnp.where(w > EIG_EPS, 1.0 / jnp.maximum(w, EIG_EPS), 0.0)
-    Hdd_inv = (V * winv[None, :]) @ V.T
-
-    A = Hkk - Hkd @ Hdd_inv @ Hkd.T
-    g = bk - Hkd @ Hdd_inv @ bd
-    A = 0.5 * (A + A.T)
-
-    # eigen square root (reference .cpp:298-308)
-    s, U = jnp.linalg.eigh(A)
-    good = s > EIG_EPS
-    ssqrt = jnp.where(good, jnp.sqrt(jnp.maximum(s, EIG_EPS)), 0.0)
-    sinv = jnp.where(good, 1.0 / jnp.maximum(ssqrt, EIG_EPS), 0.0)
-    Jp = ssqrt[:, None] * U.T  # (NK, NK)
-    rp = sinv[:, None] * (U.T @ g[:, None])
-    rp = rp[:, 0]
-
+    nd = drop_idx.shape[0]
     nk = keep_idx.shape[0]
+
+    if method == "eigh":
+        # eigendecomposition pseudo-inverse (reference .cpp:276-296)
+        w, V = jnp.linalg.eigh(Hdd)
+        winv = jnp.where(w > EIG_EPS, 1.0 / jnp.maximum(w, EIG_EPS), 0.0)
+        Hdd_inv = (V * winv[None, :]) @ V.T
+        A = Hkk - Hkd @ Hdd_inv @ Hkd.T
+        g = bk - Hkd @ Hdd_inv @ bd
+        A = 0.5 * (A + A.T)
+        s, U = jnp.linalg.eigh(A)
+        good = s > EIG_EPS
+        ssqrt = jnp.where(good, jnp.sqrt(jnp.maximum(s, EIG_EPS)), 0.0)
+        sinv = jnp.where(good, 1.0 / jnp.maximum(ssqrt, EIG_EPS), 0.0)
+        Jp = ssqrt[:, None] * U.T  # (NK, NK)
+        rp = (sinv[:, None] * (U.T @ g[:, None]))[:, 0]
+    else:
+        # diagonal-RELATIVE jitter: information scales differ by ~10 orders
+        # between bias-walk and pose dims, so a trace-scaled εI would dump
+        # massive artificial info on the weak (gauge) directions
+        def jitter(M, n):
+            d = jnp.diagonal(M)
+            return M + jnp.diag(1e-6 * d + 1e-10 * jnp.max(d) + 1e-20)
+
+        Ld = jnp.linalg.cholesky(jitter(Hdd, nd))
+        X = jax.scipy.linalg.cho_solve((Ld, True), Hkd.T)  # Hdd⁻¹ Hdk
+        A = Hkk - Hkd @ X
+        g = bk - X.T @ bd
+        A = 0.5 * (A + A.T)
+        Lk = jnp.linalg.cholesky(jitter(A, nk))
+        Jp = Lk.T  # (NK, NK) upper-triangular square root: JpᵀJp ≈ A
+        # r' with Jpᵀ r' = g  ->  r' = Lk⁻¹ g
+        rp = jax.scipy.linalg.solve_triangular(Lk, g, lower=True)
+
     J_new = jnp.zeros((NX, NX), dtype).at[:nk, new_pos].set(Jp)
     r_new = jnp.zeros((NX,), dtype).at[:nk].set(rp)
     return J_new, r_new

@@ -29,14 +29,21 @@ class RansacResult(NamedTuple):
 
 
 def _random_subsets(key, valid, n_trials, k):
-    """(n_trials, k) random distinct indices drawn from valid entries."""
+    """(n_trials, k) random indices drawn (approximately) from valid entries.
+
+    Draws 2k candidates per trial and keeps the first k valid/distinct-ish
+    ones via rank selection on masked random scores — NO full argsort per
+    trial (a per-trial (N log N) sort dominated RANSAC cost on TPU).
+    Collisions/invalid picks merely yield a degenerate trial whose model
+    scores poorly, which RANSAC tolerates by construction."""
     n = valid.shape[0]
     keys = jax.random.split(key, n_trials)
 
     def one(k_):
         score = jax.random.uniform(k_, (n,)) + (~valid) * 10.0
-        order = jnp.argsort(score)
-        return order[:k]
+        # top_k of negative score = k smallest — O(N·k) instead of full sort
+        _, idx = jax.lax.top_k(-score, k)
+        return idx
 
     return jax.vmap(one)(keys)
 

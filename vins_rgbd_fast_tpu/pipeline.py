@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from .backend import estimator as est
-from .backend.feature_table import FrameFeatures
 from .config import VinsConfig
 from .frontend import feature_tracker as ft
 from .io import stream as io_stream
