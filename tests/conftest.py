@@ -13,8 +13,18 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+import pytest
 
 # The axon TPU plugin (sitecustomize) prepends itself to jax_platforms at
 # interpreter start, overriding the env var — force CPU via the config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Free compiled executables between test modules: the full suite
+    compiles hundreds of large programs and otherwise exhausts host RAM
+    (observed as a faulthandler crash mid-suite)."""
+    yield
+    jax.clear_caches()

@@ -26,7 +26,8 @@ class VinsPipeline:
     """End-to-end RGB-D inertial odometry over a sensor stream."""
 
     def __init__(self, vcfg: VinsConfig, dtype=jnp.float32,
-                 eager_outputs: bool = True, failure_check_interval: int = 1):
+                 eager_outputs: bool = True, failure_check_interval: int = 1,
+                 pose_graph_config=None):
         self.vcfg = vcfg
         self.dtype = dtype
         self.cam = vcfg.camera()
@@ -59,9 +60,10 @@ class VinsPipeline:
         if vcfg.loop_closure:
             from .loop.pose_graph import PoseGraph, PoseGraphConfig
 
+            pg_cfg = pose_graph_config or PoseGraphConfig(
+                max_wp=vcfg.feature_capacity)
             self.pose_graph = PoseGraph(
-                PoseGraphConfig(max_wp=vcfg.feature_capacity),
-                self.cam, vcfg.ric_matrix(), vcfg.tic_vector(),
+                pg_cfg, self.cam, vcfg.ric_matrix(), vcfg.tic_vector(),
             )
             self._kf_travel_anchor: Optional[np.ndarray] = None
 
