@@ -110,6 +110,36 @@ def test_dynamic_init_e2e():
     assert abs(d_est - d_gt) < max(0.1 * d_gt, 0.08), (d_est, d_gt)
 
 
+def test_latest_odometry_fast_path():
+    """IMU-rate propagated odometry between frames (inputIMU->predict fast
+    path): propagating half a frame ahead must land near ground truth."""
+    cfg = VinsConfig(
+        imu=True, static_init=True, max_cnt=MAXC, max_features=MAXC,
+        max_imu_per_frame=16, acc_n=0.1, gyr_n=0.01, acc_w=1e-4, gyr_w=1e-5,
+    )
+    traj = simulate_long_trajectory(20, seed=61)
+    L = make_landmark_field(traj, seed=62)
+    e = est.VinsEstimator(cfg, dtype=jnp.float64)
+    for (t, a, w) in traj["imu"]:
+        e.push_imu(t, a, w)
+    # process all but the last frame: IMU samples beyond the last processed
+    # frame remain buffered for fast propagation
+    last_out = None
+    for k in range(19):
+        feats = project_frame_features(traj["P"][k], traj["Q"][k], L, MAXC)
+        out = e.process_features(feats, float(traj["times"][k]))
+        last_out = out or last_out
+    assert last_out is not None
+    t18 = float(traj["times"][18])
+    t_half = t18 + 0.05  # half a frame interval ahead
+    fast = e.latest_odometry(t_half)
+    assert fast is not None and fast["t"] > t18
+    gt_P = traj["P"][18] + traj["V"][18] * (fast["t"] - t18)
+    err = np.linalg.norm(fast["P"] - gt_P)
+    assert err < 0.05, err
+    assert np.isfinite(fast["V"]).all()
+
+
 def test_failure_reset_on_garbage():
     """A burst of absurd depth should not crash; failure detection may
     reboot the estimator and the host keeps running."""

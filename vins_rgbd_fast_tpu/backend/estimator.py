@@ -734,6 +734,7 @@ class VinsEstimator:
         self._ex_pairs: list = []  # (q_cam (4,), q_imu (4,))
         self._prev_feats_host: Optional[tuple] = None
         self._pending_relo: Optional[slv.ReloData] = None
+        self._keys = jax.random.split(jax.random.PRNGKey(1), 4096)
         self.reset()
 
     def reset(self):
@@ -840,7 +841,7 @@ class VinsEstimator:
                 if cfg.use_imu and not cfg.static_init:
                     # dynamic initialization; retry on failure after sliding
                     self.state, step_out, ok = init_dynamic(
-                        cfg, self.state, jax.random.PRNGKey(self._step)
+                        cfg, self.state, self._keys[self._step % 4096]
                     )
                     if bool(jax.device_get(ok)):
                         self.solver_flag = self.NON_LINEAR
@@ -856,7 +857,7 @@ class VinsEstimator:
             else:
                 self.frame_count += 1
         else:
-            key = jax.random.PRNGKey(self._step)
+            key = self._keys[self._step % 4096]
             relo = None
             if cfg.fast_relo:
                 relo = self._pending_relo or slv.empty_relo(cfg.maxf, self.dtype)
@@ -874,6 +875,68 @@ class VinsEstimator:
             out = self._emit(step_out, t)
         self._step += 1
         return out
+
+    def latest_odometry(self, t: Optional[float] = None) -> Optional[dict]:
+        """Low-latency IMU-rate odometry: midpoint-propagate the newest
+        solved state through the buffered IMU samples up to ``t`` (the
+        reference's fast path ``inputIMU → predict → pubLatestOdometry``,
+        estimator.cpp:1749-1888, ~200 Hz).
+
+        Pure numpy on cached host values — no device round trip."""
+        if self.solver_flag != self.NON_LINEAR or not self._pending:
+            return None
+        t_last, out = self._pending[-1]
+        # memoize the (one sync per solved frame) host copy of the base state
+        cached = getattr(self, "_latest_base", None)
+        if cached is not None and cached[0] == t_last:
+            base = cached[1]
+        else:
+            base = self._materialize(t_last, out)
+            self._latest_base = (t_last, base)
+        P = np.asarray(base["P"], np.float64).copy()
+        Q = np.asarray(base["Q"], np.float64).copy()
+        V = np.asarray(base["V"], np.float64).copy()
+        g = np.array([0.0, 0.0, self.cfg.g_norm])
+        bg = self._bg_host if hasattr(self, "_bg_host") else np.zeros(3)
+        samples = [s for s in self._imu_buf
+                   if s[0] > t_last and (t is None or s[0] <= t)]
+        t_prev = t_last
+        acc_prev = None
+        gyr_prev = None
+        for (ts, acc, gyr) in samples:
+            dt = ts - t_prev
+            if acc_prev is None:
+                acc_prev, gyr_prev = acc, gyr
+            w = 0.5 * (gyr_prev + gyr) - bg
+            # quaternion update q <- q ⊗ [1, w dt/2]
+            half = 0.5 * w * dt
+            dq = np.array([1.0, half[0], half[1], half[2]])
+            Qn = np.array([
+                Q[0] * dq[0] - Q[1] * dq[1] - Q[2] * dq[2] - Q[3] * dq[3],
+                Q[0] * dq[1] + Q[1] * dq[0] + Q[2] * dq[3] - Q[3] * dq[2],
+                Q[0] * dq[2] - Q[1] * dq[3] + Q[2] * dq[0] + Q[3] * dq[1],
+                Q[0] * dq[3] + Q[1] * dq[2] - Q[2] * dq[1] + Q[3] * dq[0],
+            ])
+            Qn /= np.linalg.norm(Qn)
+
+            def rot(q, v):
+                w0, x, y, z = q
+                R = np.array([
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w0 * z), 2 * (x * z + w0 * y)],
+                    [2 * (x * y + w0 * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w0 * x)],
+                    [2 * (x * z - w0 * y), 2 * (y * z + w0 * x), 1 - 2 * (x * x + y * y)],
+                ])
+                return R @ v
+
+            a0 = rot(Q, acc_prev) - g
+            a1 = rot(Qn, acc) - g
+            a = 0.5 * (a0 + a1)
+            P = P + V * dt + 0.5 * a * dt * dt
+            V = V + a * dt
+            Q = Qn
+            acc_prev, gyr_prev = acc, gyr
+            t_prev = ts
+        return dict(t=t_prev, P=P, Q=Q, V=V)
 
     def set_relo_frame(self, match_pts: np.ndarray, match_valid: np.ndarray,
                        P_old: np.ndarray, Q_old: np.ndarray):
@@ -915,7 +978,7 @@ class VinsEstimator:
         m2 = np.asarray(m2)
         from ..ops import ransac as ransac_ops
         res = ransac_ops.fundamental_ransac(
-            jax.random.PRNGKey(self._step + 7777),
+            self._keys[(self._step + 2048) % 4096],
             jnp.asarray(m1), jnp.asarray(m2), jnp.ones(len(m1), bool),
             threshold=1.0 / 460.0, n_trials=64,
         )

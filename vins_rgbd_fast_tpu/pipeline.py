@@ -54,6 +54,9 @@ class VinsPipeline:
         self._imu_for_predict: list = []  # (t, gyr)
         self._bg_cache = np.zeros(3)
         self._depth_lookup = jax.jit(ft.lookup_depth)
+        # pre-split key pool: eager PRNGKey(int) per frame costs ~90 ms on
+        # tunneled TPUs (new constant -> new program); indexing is ~free
+        self._keys = jax.random.split(jax.random.PRNGKey(0), 4096)
 
         # loop closure (the reference's second nodelet), optional
         self.pose_graph = None
@@ -136,7 +139,7 @@ class VinsPipeline:
             self.tracker_state, tout = ft.track_frame(
                 self.tcfg, self.cam, self.tracker_state, img,
                 jnp.asarray(t, self.dtype), jnp.asarray(rel_R, self.dtype),
-                jax.random.PRNGKey(self._frame_idx),
+                self._keys[self._frame_idx % 4096],
                 pub_this_frame=True,
             )
         self._frame_idx += 1
