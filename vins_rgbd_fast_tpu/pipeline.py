@@ -18,7 +18,6 @@ from .backend import estimator as est
 from .config import VinsConfig
 from .frontend import feature_tracker as ft
 from .io import stream as io_stream
-from .utils import quaternion as quat
 from .utils.timing import StageTimer
 
 
