@@ -60,6 +60,7 @@ class PoseGraphConfig:
     huber: float = 0.1
     recency_exclusion: int = 50  # detectLoop skips the last 50 keyframes
     min_loop_num: int = MIN_LOOP_NUM
+    use_6dof: bool = False  # VO mode: full SE(3) graph (optimize6DoF)
 
 
 class KeyFrameData(NamedTuple):
@@ -507,9 +508,11 @@ class PoseGraph:
             jnp.asarray(yaw_cur - yaw_old))))
         if abs(rel_yaw) >= LOOP_YAW_MAX or np.linalg.norm(rel_t) >= LOOP_T_MAX:
             return None
+        rel_q = np.asarray(quat.qmul(
+            quat.qconj(quat.R2q(jnp.asarray(R_w_oldimu))), jnp.asarray(cur.Q_vio)))
         return dict(
             cur=cur.index, old=old.index,
-            rel_t=rel_t, rel_yaw=rel_yaw,
+            rel_t=rel_t, rel_yaw=rel_yaw, rel_q=rel_q,
             n_inliers=int(res.n_inliers),
             matched_old_norm=matched_old_norm,
             inlier_mask=np.asarray(res.inliers),
@@ -567,6 +570,9 @@ class PoseGraph:
         E = len(e_i)
         if E == 0:
             return
+        if cfg.use_6dof:
+            self._optimize_6dof_impl(kfs, Kpad, K, tt, valid, fixed, local, first)
+            return
         yaw_o, t_o, c0, c1 = optimize_4dof(
             jnp.asarray(yaw), jnp.asarray(tt), jnp.asarray(pitch),
             jnp.asarray(roll), jnp.asarray(valid), jnp.asarray(fixed),
@@ -593,6 +599,62 @@ class PoseGraph:
         Rd = self._r_drift()
         self.t_drift = t_o[li] - Rd @ cur_kf.P_vio
         # propagate drift to keyframes after the optimized set
+        for kf in self.keyframes:
+            if kf.index > cur_kf.index:
+                self.corrected[kf.index] = self.apply_drift(kf.P_vio, kf.Q_vio)
+
+    # ------------------------------------------------------------------
+    def _optimize_6dof_impl(self, kfs, Kpad, K, tt, valid, fixed, local, first):
+        """Full-SE(3) pose graph for VO mode (``optimize6DoF``,
+        pose_graph.cpp:583-750): quaternion nodes, RelativeRTError edges,
+        full rotational drift."""
+        cfg = self.cfg
+        q0 = np.zeros((Kpad, 4))
+        q0[:, 0] = 1.0
+        for li, kf in enumerate(kfs[:Kpad]):
+            q0[li] = kf.Q_vio
+        e_i, e_j, e_rt, e_rq, e_loop = [], [], [], [], []
+        for li in range(1, min(K, Kpad)):
+            for back in range(1, 5):
+                lj = li - back
+                if lj < 0 or kfs[lj].sequence != kfs[li].sequence:
+                    continue
+                qj = jnp.asarray(q0[lj])
+                rel_t = np.asarray(quat.qrot_inv(qj, jnp.asarray(tt[li] - tt[lj])))
+                rel_q = np.asarray(quat.qmul(quat.qconj(qj), jnp.asarray(q0[li])))
+                e_i.append(lj); e_j.append(li)
+                e_rt.append(rel_t); e_rq.append(rel_q); e_loop.append(False)
+        for lp in self.loops:
+            if lp["old"] < first or lp["cur"] not in local or lp["old"] not in local:
+                continue
+            if "rel_q" not in lp:
+                continue
+            e_i.append(local[lp["old"]]); e_j.append(local[lp["cur"]])
+            e_rt.append(lp["rel_t"]); e_rq.append(lp["rel_q"]); e_loop.append(True)
+        E = len(e_i)
+        if E == 0:
+            return
+        t_o, q_o, c0, c1 = optimize_6dof(
+            jnp.asarray(tt), jnp.asarray(q0),
+            jnp.asarray(valid), jnp.asarray(fixed),
+            jnp.asarray(e_i, jnp.int32), jnp.asarray(e_j, jnp.int32),
+            jnp.asarray(np.asarray(e_rt)), jnp.asarray(np.asarray(e_rq)),
+            jnp.asarray(e_loop), jnp.ones(E, bool),
+            n_nodes_static=Kpad, iters=cfg.pg_iters, huber=cfg.huber,
+        )
+        t_o = np.asarray(t_o)
+        q_o = np.asarray(q_o)
+        for li, kf in enumerate(kfs[:Kpad]):
+            self.corrected[kf.index] = (t_o[li], q_o[li])
+        # full rotational drift (pose_graph.cpp:718-731)
+        li = min(K, Kpad) - 1
+        cur_kf = kfs[li]
+        R_cur = np.asarray(quat.q2R(jnp.asarray(q_o[li])))
+        R_vio = np.asarray(quat.q2R(jnp.asarray(cur_kf.Q_vio)))
+        Rd = R_cur @ R_vio.T
+        # store as yaw-drift approximation for apply_drift plus exact t
+        self.yaw_drift = float(np.asarray(quat.R2ypr(jnp.asarray(Rd)))[0])
+        self.t_drift = t_o[li] - self._r_drift() @ cur_kf.P_vio
         for kf in self.keyframes:
             if kf.index > cur_kf.index:
                 self.corrected[kf.index] = self.apply_drift(kf.P_vio, kf.Q_vio)

@@ -63,7 +63,9 @@ class VinsPipeline:
             from .loop.pose_graph import PoseGraph, PoseGraphConfig
 
             pg_cfg = pose_graph_config or PoseGraphConfig(
-                max_wp=vcfg.feature_capacity)
+                max_wp=vcfg.feature_capacity,
+                use_6dof=not vcfg.imu,  # VO mode: full SE(3) graph
+            )
             self.pose_graph = PoseGraph(
                 pg_cfg, self.cam, vcfg.ric_matrix(), vcfg.tic_vector(),
             )
