@@ -126,6 +126,41 @@ def _write_tiny_bag(path):
                              "size": struct.pack("<I", len(inner))}, inner))
 
 
+def test_bag_reader_orders_across_seconds(tmp_path):
+    """The packed 'time' field stores secs in the LOW word and nsecs in the
+    HIGH word; a raw uint64 sort would order by nanoseconds and put t=101.1
+    before t=100.9.  Replay order must be by (secs, nsecs)."""
+    if native.bag_lib() is None:
+        pytest.skip("bag lib build failed")
+    path = str(tmp_path / "order.bag")
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        conn_data = b""
+        for k, v in {"topic": b"/imu", "type": b"sensor_msgs/Imu",
+                     "md5sum": b"0", "message_definition": b""}.items():
+            field = k.encode() + b"=" + v
+            conn_data += struct.pack("<I", len(field)) + field
+        conn = _bag_record({"op": b"\x07", "conn": struct.pack("<I", 0),
+                            "topic": b"/imu"}, conn_data)
+
+        def msg(secs, nsecs, payload):
+            time = struct.pack("<II", secs, nsecs)
+            return _bag_record({"op": b"\x02", "conn": struct.pack("<I", 0),
+                                "time": time}, payload)
+
+        inner = (conn
+                 + msg(101, 100_000_000, b"late")    # t = 101.1
+                 + msg(100, 900_000_000, b"early"))  # t = 100.9
+        f.write(_bag_record({"op": b"\x05", "compression": b"none",
+                             "size": struct.pack("<I", len(inner))}, inner))
+    from vins_rgbd_fast_tpu.io.rosbag import BagReader
+
+    msgs = list(BagReader(path).messages())
+    assert [m[2] for m in msgs] == [b"early", b"late"]
+    assert msgs[0][1] == pytest.approx(100.9)
+    assert msgs[1][1] == pytest.approx(101.1)
+
+
 def test_bag_reader_parses_synthetic_bag(tmp_path):
     if native.bag_lib() is None:
         pytest.skip("bag lib build failed")

@@ -132,3 +132,25 @@ def test_imu_prediction_mode_runs():
         state, out = ft.track_frame(cfg, CAM, state, img, jnp.asarray(k * 0.1),
                                     eye, jax.random.PRNGKey(k))
     assert int(out.n_tracked) >= 10
+
+
+def test_parallel_admission_matches_sequential_greedy():
+    """The fixed-point parallel admission must reproduce the sequential
+    greedy scan (lexicographically-first min-dist admission set) exactly."""
+    cfg = ft.TrackerConfig(width=640, height=480, max_cnt=130, min_dist=30,
+                           grid_rows=7, grid_cols=8)
+    G = cfg.num_grids
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        M = 420
+        xy = jnp.asarray(rng.uniform(0, 600, (M, 2)))
+        eligible = jnp.asarray(rng.random(M) < 0.8)
+        blocker = jnp.asarray(rng.random(M) < 0.1) & ~eligible
+        grids = jnp.asarray(rng.integers(0, G, M, dtype=np.int32))
+        need = jnp.asarray(rng.integers(0, 5, G, dtype=np.int32))
+        isnew = jnp.asarray(np.arange(M) >= 196)
+        a = ft._greedy_admission(cfg, xy, eligible, blocker, grids, need, isnew)
+        b = ft._parallel_admission(cfg, xy, eligible, blocker, grids, need,
+                                   isnew, rounds=16)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"seed {seed}")

@@ -422,6 +422,8 @@ class StepOutput(NamedTuple):
     P: jax.Array  # newest pose (pre-slide)
     Q: jax.Array
     V: jax.Array
+    Ba: jax.Array  # newest accel/gyro bias (pre-slide) for the fast IMU path
+    Bg: jax.Array
     is_keyframe: jax.Array
     failure: jax.Array
     cost: jax.Array
@@ -430,6 +432,14 @@ class StepOutput(NamedTuple):
     relo_P: jax.Array  # optimized relocalization pose (zeros if unused)
     relo_Q: jax.Array
     relo_used: jax.Array
+    # newest frame's depth-anchored landmarks, exported PRE-slide (the
+    # reference's pubKeyframe point cloud, visualization.cpp:454-520); the
+    # slide clears the newest slot's obs_mask so a post-slide export would
+    # always be empty
+    wp_world: jax.Array  # (MAXF, 3)
+    wp_uv: jax.Array  # (MAXF, 2)
+    wp_norm: jax.Array  # (MAXF, 2)
+    wp_valid: jax.Array  # (MAXF,) bool
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -517,8 +527,10 @@ def _solve_and_slide(
     prior = jax.lax.cond(is_kf, m_old, m_new, st)
     st = st._replace(prior=prior)
 
+    wp_world, wp_uv, wp_norm, wp_valid = _window_points(st.x, st.table)
     out = StepOutput(
         P=x_new.P[WINDOW_SIZE], Q=x_new.Q[WINDOW_SIZE], V=x_new.V[WINDOW_SIZE],
+        Ba=x_new.Ba[WINDOW_SIZE], Bg=x_new.Bg[WINDOW_SIZE],
         is_keyframe=is_kf, failure=failure, cost=res.cost,
         n_features=jnp.sum(vis.valid), last_track_num=last_track_num,
         relo_P=(res.relo_P if res.relo_P is not None else jnp.zeros(3, dtype)),
@@ -526,6 +538,7 @@ def _solve_and_slide(
                 else jnp.asarray([1.0, 0, 0, 0], dtype)),
         relo_used=(relo.active if (cfg.fast_relo and relo is not None)
                    else jnp.asarray(False)),
+        wp_world=wp_world, wp_uv=wp_uv, wp_norm=wp_norm, wp_valid=wp_valid,
     )
     st = st._replace(last_P=x_new.P[WINDOW_SIZE], last_Q=x_new.Q[WINDOW_SIZE])
     st = _slide(cfg, st, is_kf)
@@ -609,7 +622,9 @@ def init_dynamic(
     P_new = jnp.einsum("ab,fb->fa", R0, P_wi)
     P_new = P_new - P_new[0][None]
     R_new = jnp.einsum("ab,fbc->fac", R0, R_wi)
-    V_new = jnp.einsum("ab,fb->fa", R0, V_c0)
+    # the alignment solves per-frame velocities in each frame's BODY frame
+    # (estimator.cpp:850 rotates by frame_i->second.R before rot_diff)
+    V_new = jnp.einsum("ab,fbc,fc->fa", R0, R_wi, V_c0)
     x_new = st1.x._replace(P=P_new, Q=quat.R2q(R_new), V=V_new)
     st1 = st1._replace(x=x_new)
 
@@ -680,16 +695,10 @@ def vio_step(
     return _solve_and_slide(cfg, st, is_kf, ltn, relo)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-@_f32_matmul
-def keyframe_points(cfg: EstimatorConfig, st: EstimatorState):
-    """Export the newest frame's depth-anchored landmarks for the pose
-    graph (the reference's ``pubKeyframe`` point cloud: world position +
-    per-point [x_norm y_norm u v id], visualization.cpp:454-520).
-
-    Returns (wp_world (MAXF,3), wp_uv (MAXF,2), wp_norm (MAXF,2), valid)."""
-    t = st.table
-    x = st.x
+def _window_points(x: WindowState, t: FeatureTable):
+    """Newest frame's depth-anchored landmarks (must run PRE-slide: the
+    slide clears the newest slot's observations).  Returns
+    (wp_world (MAXF,3), wp_uv (MAXF,2), wp_norm (MAXF,2), valid)."""
     j = FRAMES - 1
     t_wc, R_wc = ftab.cam_poses(x.P, x.Q, x.tic, x.qic)
     s = t.start
@@ -701,6 +710,18 @@ def keyframe_points(cfg: EstimatorConfig, st: EstimatorState):
         ftab.active_rows(t) & (t.est_depth > 0) & t.obs_mask[:, j] & ~t.is_dynamic
     )
     return p_w, t.uv[:, j], t.pts[:, j], valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+@_f32_matmul
+def keyframe_points(cfg: EstimatorConfig, st: EstimatorState):
+    """Export the newest frame's depth-anchored landmarks for the pose
+    graph (the reference's ``pubKeyframe`` point cloud: world position +
+    per-point [x_norm y_norm u v id], visualization.cpp:454-520).
+
+    NOTE: only meaningful on a PRE-slide state; the per-step exports in
+    ``StepOutput.wp_*`` are the supported path."""
+    return _window_points(st.x, st.table)
 
 
 # ---------------------------------------------------------------------------
@@ -897,7 +918,10 @@ class VinsEstimator:
         Q = np.asarray(base["Q"], np.float64).copy()
         V = np.asarray(base["V"], np.float64).copy()
         g = np.array([0.0, 0.0, self.cfg.g_norm])
-        bg = self._bg_host if hasattr(self, "_bg_host") else np.zeros(3)
+        # bias-corrected propagation (reference predict uses acc - tmp_Ba,
+        # gyr - tmp_Bg, estimator.cpp:1862-1880); biases ride StepOutput
+        ba = np.asarray(base.get("Ba", np.zeros(3)), np.float64)
+        bg = np.asarray(base.get("Bg", np.zeros(3)), np.float64)
         samples = [s for s in self._imu_buf
                    if s[0] > t_last and (t is None or s[0] <= t)]
         t_prev = t_last
@@ -928,8 +952,8 @@ class VinsEstimator:
                 ])
                 return R @ v
 
-            a0 = rot(Q, acc_prev) - g
-            a1 = rot(Qn, acc) - g
+            a0 = rot(Q, acc_prev - ba) - g
+            a1 = rot(Qn, acc - ba) - g
             a = 0.5 * (a0 + a1)
             P = P + V * dt + 0.5 * a * dt * dt
             V = V + a * dt
@@ -1018,14 +1042,24 @@ class VinsEstimator:
 
     @staticmethod
     def _materialize(t: float, step_out: StepOutput) -> dict:
+        host = jax.device_get(step_out)  # ONE readback for the whole pytree
         return dict(
             t=t,
-            P=np.asarray(jax.device_get(step_out.P)),
-            Q=np.asarray(jax.device_get(step_out.Q)),
-            V=np.asarray(jax.device_get(step_out.V)),
-            is_keyframe=bool(jax.device_get(step_out.is_keyframe)),
-            cost=float(jax.device_get(step_out.cost)),
-            n_features=int(jax.device_get(step_out.n_features)),
+            P=np.asarray(host.P),
+            Q=np.asarray(host.Q),
+            V=np.asarray(host.V),
+            Ba=np.asarray(host.Ba),
+            Bg=np.asarray(host.Bg),
+            is_keyframe=bool(host.is_keyframe),
+            cost=float(host.cost),
+            n_features=int(host.n_features),
+            relo_P=np.asarray(host.relo_P),
+            relo_Q=np.asarray(host.relo_Q),
+            relo_used=bool(host.relo_used),
+            wp_world=np.asarray(host.wp_world),
+            wp_uv=np.asarray(host.wp_uv),
+            wp_norm=np.asarray(host.wp_norm),
+            wp_valid=np.asarray(host.wp_valid),
         )
 
     @property

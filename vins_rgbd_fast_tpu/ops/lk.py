@@ -136,12 +136,18 @@ def pyramidal_lk(
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig: float = 1e-4,
+    coarse_iters: int = 0,  # 0 -> same as max_iters
 ) -> LKResult:
     """Track pts from prev to cur across the pyramid (coarse→fine).
 
     ``init_pts`` provides the IMU-predicted warm start (the reference's
     OPTFLOW_USE_INITIAL_FLOW path); pass ``init_pts = pts`` for the cold
     3-level mode.
+
+    ``coarse_iters`` caps the iteration budget at levels > 0: the vmapped
+    while_loop runs in lockstep to the WORST lane, and a coarse level only
+    needs to land within ~1-2 px for the fine level to finish — a single
+    oscillating track otherwise drags every level to ``max_iters``.
     """
     levels = len(prev_pyr)
     dtype = prev_pyr[0].dtype
@@ -152,8 +158,10 @@ def pyramidal_lk(
     for l in range(levels - 1, -1, -1):
         s = jnp.asarray(2.0 ** l, dtype)
         pts_l = pts / s
+        iters_l = max_iters if (l == 0 or coarse_iters <= 0) else min(
+            coarse_iters, max_iters)
         flow, status_l, err = _track_level(
-            prev_pyr[l], cur_pyr[l], pts_l, flow, active, win, max_iters, eps,
+            prev_pyr[l], cur_pyr[l], pts_l, flow, active, win, iters_l, eps,
             min_eig, check_border=(l == 0),
         )
         status = status & status_l

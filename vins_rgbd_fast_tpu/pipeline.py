@@ -35,7 +35,9 @@ class VinsPipeline:
             max_cnt=vcfg.max_cnt, capacity=vcfg.feature_capacity,
             min_dist=vcfg.min_dist,
             grid_rows=vcfg.num_grid_rows, grid_cols=vcfg.num_grid_cols,
-            f_threshold=vcfg.f_threshold, equalize=vcfg.equalize,
+            f_threshold=vcfg.f_threshold,
+            fast_threshold=float(vcfg.fast_threshold),
+            equalize=vcfg.equalize,
             fisheye=vcfg.fisheye,
             use_imu_prediction=vcfg.imu,
         )
@@ -70,6 +72,7 @@ class VinsPipeline:
                 pg_cfg, self.cam, vcfg.ric_matrix(), vcfg.tic_vector(),
             )
             self._kf_travel_anchor: Optional[np.ndarray] = None
+            self._kf_skip_count = 0
 
     # ------------------------------------------------------------------
     def push_imu(self, t: float, acc, gyr):
@@ -163,19 +166,26 @@ class VinsPipeline:
         return out
 
     # ------------------------------------------------------------------
-    def _maybe_add_keyframe(self, out: dict, frame, t: float,
-                            skip_dis: float = 0.0):
-        """Feed a keyframe to the pose graph (travel-distance gated like
-        ``pose_graph_nodelet.cpp:522``); publishes drift-corrected path."""
+    def _maybe_add_keyframe(self, out: dict, frame, t: float):
+        """Feed a keyframe to the pose graph (skip-count + travel-distance
+        gated like ``pose_graph_nodelet.cpp:501,522``); publishes the
+        drift-corrected path."""
         if not out.get("is_keyframe"):
             return
+        if self.vcfg.skip_cnt > 0:
+            self._kf_skip_count += 1
+            if self._kf_skip_count < self.vcfg.skip_cnt:
+                return
+            self._kf_skip_count = 0
         P = np.asarray(out["P"])
-        if self._kf_travel_anchor is not None and skip_dis > 0:
-            if np.linalg.norm(P - self._kf_travel_anchor) < skip_dis:
+        if self._kf_travel_anchor is not None and self.vcfg.skip_dis > 0:
+            if np.linalg.norm(P - self._kf_travel_anchor) < self.vcfg.skip_dis:
                 return
         self._kf_travel_anchor = P
-        wp_world, wp_uv, wp_norm, valid = est.keyframe_points(
-            self.estimator.cfg, self.estimator.state
+        # window points ride StepOutput (exported pre-slide inside vio_step;
+        # the post-slide table has the newest slot cleared)
+        wp_world, wp_uv, wp_norm, valid = (
+            out["wp_world"], out["wp_uv"], out["wp_norm"], out["wp_valid"]
         )
         with self.timer.stage("pose_graph"):
             info = self.pose_graph.add_keyframe(

@@ -58,9 +58,18 @@ static T get_scalar(const std::map<std::string, std::vector<uint8_t>>& h,
 
 struct MsgRef {
     uint32_t conn;
-    uint64_t time_ns;
+    uint64_t time_ns;  // canonical nanoseconds: secs * 1e9 + nsecs
     std::vector<uint8_t> data;
 };
+
+// The rosbag 'time' header field packs secs in the LOW 4 bytes and nsecs in
+// the HIGH 4 bytes (little-endian pair of uint32s). Sorting the raw uint64
+// would order primarily by nanoseconds and scramble replay across seconds.
+static uint64_t decode_time_ns(uint64_t raw) {
+    uint64_t secs = raw & 0xFFFFFFFFull;
+    uint64_t nsecs = raw >> 32;
+    return secs * 1000000000ull + nsecs;
+}
 
 struct BagCtx {
     FILE* f = nullptr;
@@ -97,7 +106,7 @@ static void parse_record(BagCtx* ctx,
     } else if (op == 0x02) {  // message data
         MsgRef m;
         m.conn = get_scalar<uint32_t>(hdr, "conn");
-        m.time_ns = get_scalar<uint64_t>(hdr, "time");
+        m.time_ns = decode_time_ns(get_scalar<uint64_t>(hdr, "time"));
         m.data.assign(data, data + dlen);
         ctx->messages.push_back(std::move(m));
     } else if (op == 0x05) {  // chunk
@@ -204,9 +213,7 @@ int vins_bag_message_info(void* p, int i, int* conn, double* stamp) {
     if (i < 0 || i >= static_cast<int>(ctx->messages.size())) return -1;
     const auto& m = ctx->messages[i];
     *conn = static_cast<int>(m.conn);
-    uint32_t secs = static_cast<uint32_t>(m.time_ns & 0xFFFFFFFFu);
-    uint32_t nsecs = static_cast<uint32_t>(m.time_ns >> 32);
-    *stamp = secs + 1e-9 * nsecs;
+    *stamp = 1e-9 * static_cast<double>(m.time_ns);
     return static_cast<int>(m.data.size());
 }
 
