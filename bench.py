@@ -115,11 +115,12 @@ def main():
 
 
 def main_batched():
-    """Throughput mode: B independent synthetic sequences vmapped per chip.
+    """Throughput mode: B independent synthetic sequences, the WHOLE
+    per-frame pipeline (tracker + depth + backend) fused, vmapped over B
+    and lax.scan-ned over frames — one dispatch for the entire timed run.
 
-    Per-sequence warmup runs the normal pipeline until steady state; then
-    the batched tracker+backend programs process all sequences per frame
-    with no host syncs."""
+    Per-sequence warmup runs the normal host pipeline until steady state;
+    the scanned runner then takes over with zero host work per frame."""
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -129,17 +130,15 @@ def main_batched():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
-    from functools import partial
 
     from vins_rgbd_fast_tpu.config import VinsConfig
     from vins_rgbd_fast_tpu.io import synthetic as syn
     from vins_rgbd_fast_tpu.io import stream as io_stream
     from vins_rgbd_fast_tpu.pipeline import VinsPipeline
-    from vins_rgbd_fast_tpu.backend import estimator as est
-    from vins_rgbd_fast_tpu.frontend import feature_tracker as ft
+    from vins_rgbd_fast_tpu.parallel import batched_pipeline as bp
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
     warmup = 14  # fill window + init + settle
 
     rig = syn.SyntheticRig(width=640, height=480, fx=460.0, fy=460.0,
@@ -179,61 +178,31 @@ def main_batched():
     jax.block_until_ready(pipes[-1].estimator.state.x.P)
     _ = np.asarray(pipes[-1].estimator.state.x.P)  # readback handshake
 
-    # batch the states
-    stack = lambda trees: jax.tree.map(lambda *a: jnp.stack(a), *trees)
-    est_states = stack([p.estimator.state for p in pipes])
-    trk_states = stack([p.tracker_state for p in pipes])
-    ecfg = pipes[0].estimator.cfg
-    tcfg = pipes[0].tcfg
-    cam = pipes[0].cam
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    trk_states, est_states = bp.stack_states(pipes)
+    runner = bp.BatchedVioRunner(pipes[0].tcfg, pipes[0].cam,
+                                 pipes[0].estimator.cfg)
 
-    vt = jax.jit(jax.vmap(
-        lambda st, img, t, rel, key: ft.track_frame(tcfg, cam, st, img, t, rel, key)
-    ))
-    vlookup = jax.jit(jax.vmap(ft.lookup_depth))
-    vb = jax.jit(jax.vmap(
-        lambda st, feats, imu, key: est.vio_step(ecfg, st, feats, imu, key)
-    ))
+    # two equal-length staged segments: the first compiles+warms the scan
+    # program, the second (different data, same shapes) is the timed run
+    T = (n_frames - warmup) // 2
+    batch_warm = bp.stage_frames(pipes, frames, warmup, warmup + T)
+    batch_timed = bp.stage_frames(pipes, frames, warmup + T, warmup + 2 * T)
+    jax.block_until_ready((batch_warm.imgs, batch_timed.imgs))
 
-    def one_step(k, trk_states, est_states, timed_outs):
-        imgs = jnp.stack([frames[b][k][1] for b in range(B)])
-        depths = jnp.stack([frames[b][k][2] for b in range(B)])
-        ts = jnp.asarray([frames[b][k][0] for b in range(B)], jnp.float32)
-        rels = np.stack([
-            pipes[b]._predict_relative_R(frames[b][k - 1][0], frames[b][k][0])
-            for b in range(B)
-        ]).astype(np.float32)
-        ivs = [pipes[b].estimator._collect_interval(frames[b][k - 1][0],
-                                                    frames[b][k][0])
-               for b in range(B)]
-        ivb = stack(ivs)
-        trk_states, touts = vt(trk_states, imgs, ts, jnp.asarray(rels), keys)
-        feats = touts.features
-        depth = vlookup(depths, feats.uv, feats.ids >= 0)
-        feats = feats._replace(depth=depth)
-        est_states, souts = vb(est_states, feats, ivb, keys)
-        timed_outs.append(souts)
-        return trk_states, est_states
-
-    # compile warmup for the batched programs (one untimed step)
-    _warm = []
-    trk_states, est_states = one_step(warmup, trk_states, est_states, _warm)
+    trk_states, est_states, _ = runner.run(trk_states, est_states, batch_warm)
     jax.block_until_ready(est_states.x.P)
 
-    outs = []
     t0 = time.perf_counter()
-    for k in range(warmup + 1, n_frames):
-        trk_states, est_states = one_step(k, trk_states, est_states, outs)
+    trk_states, est_states, outs = runner.run(trk_states, est_states, batch_timed)
     jax.block_until_ready(est_states.x.P)
     elapsed = time.perf_counter() - t0
-    n_timed = (n_frames - warmup - 1) * B
+    n_timed = T * B
     fps = n_timed / elapsed if elapsed > 0 else 0.0
 
     # accuracy: ATE of sequence 0 over the timed span
-    host = jax.device_get(jax.tree.map(lambda *a: jnp.stack(a), *outs))
-    ts0 = [frames[0][k][0] for k in range(warmup + 1, n_frames)]
-    P0 = [np.asarray(host.P[i, 0]) for i in range(len(ts0))]
+    host = jax.device_get(outs)
+    ts0 = [frames[0][k][0] for k in range(warmup + T, warmup + 2 * T)]
+    P0 = [np.asarray(host.P[i, 0]) for i in range(T)]
     ate = io_stream.ate_rmse(ts0, P0, seqs[0].times, seqs[0].P, align=False)
 
     result = {

@@ -163,6 +163,55 @@ def main():
 
             timeit("vmap(vio_step) B=8", bbstep, list(range(32)))
 
+    if "solve" in stages or "marg" in stages or "pre" in stages:
+        import __graft_entry__ as g
+        from vins_rgbd_fast_tpu.backend import estimator as est
+        from vins_rgbd_fast_tpu.backend import feature_table as ftab
+        from vins_rgbd_fast_tpu.ops import marginalization as marg
+        from vins_rgbd_fast_tpu.ops import solver as slv
+
+        ecfg = g._example_cfg(maxf=192, maxi=32)
+        state, feats, imu2, key = g._example_inputs(ecfg)
+        # run a couple steps to get a realistic state
+        for k in range(3):
+            state, _ = est.vio_step(ecfg, state, feats, imu2, keys[k])
+        jax.block_until_ready(state.x.P)
+        gvec = ecfg.gravity(jnp.float32)
+
+        if "pre" in stages:
+            f = jax.jit(lambda st: est._make_preints(ecfg, st).pre.delta_p)
+            timeit("make_preints", lambda k: f(state._replace(
+                imu_acc=state.imu_acc + k * 1e-6)), list(range(32)))
+            f2 = jax.jit(lambda st: ftab.triangulate_with_depth(
+                st.table, st.x.P, st.x.Q, st.x.tic, st.x.qic,
+                ecfg.depth_min_dist, ecfg.depth_max_dist).est_depth)
+            timeit("triangulate", lambda k: f2(state._replace(
+                x=state.x._replace(P=state.x.P + k * 1e-6))), list(range(32)))
+
+        if "solve" in stages:
+            def fsolve(st):
+                vis = est._visual_data(ecfg, st.table)
+                imud = est._make_preints(ecfg, st)
+                return slv.solve(ecfg.solver, st.x, vis, imud, st.prior,
+                                 gvec).cost
+            f = jax.jit(fsolve)
+            timeit("solve (8 LM iters)", lambda k: f(state._replace(
+                x=state.x._replace(P=state.x.P + k * 1e-6))), list(range(32)))
+
+        if "marg" in stages:
+            def fmo(st):
+                vis = est._visual_data(ecfg, st.table)
+                imud = est._make_preints(ecfg, st)
+                return marg.marginalize_old(
+                    ecfg.solver, st.x, vis, imud, st.prior, gvec).r0
+            f = jax.jit(fmo)
+            timeit("marginalize_old", lambda k: f(state._replace(
+                x=state.x._replace(P=state.x.P + k * 1e-6))), list(range(32)))
+            f2 = jax.jit(lambda st: marg.marginalize_new(
+                ecfg.solver, st.x, st.prior).r0)
+            timeit("marginalize_new", lambda k: f2(state._replace(
+                x=state.x._replace(P=state.x.P + k * 1e-6))), list(range(32)))
+
     if "batched_track" in stages:
         B = 8
         st = ft.init_state(cfg, jnp.float32)

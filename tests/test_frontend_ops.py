@@ -156,6 +156,25 @@ def test_fundamental_ransac_rejects_outliers():
     assert inl[~gt_in].sum() == 0
 
 
+def test_fundamental_ransac_recall_under_noise():
+    """Noisy-inlier recall in float32 (regression: without the consensus
+    refit a single 8-point sample misclassifies most noisy inliers at the
+    1px threshold, silently killing ~85% of tracks every frame)."""
+    rng = np.random.default_rng(3)
+    p1, p2, gt_in, _ = _two_view_scene(n=130, n_out=20, seed=3)
+    p1 = p1 + rng.normal(0, 0.3, p1.shape)
+    p2 = p2 + rng.normal(0, 0.3, p2.shape)
+    res = ransac_ops.fundamental_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(p1, jnp.float32),
+        jnp.asarray(p2, jnp.float32), jnp.ones(len(p1), bool),
+        threshold=1.0, n_trials=64,
+    )
+    inl = np.asarray(res.inliers)
+    assert bool(res.ok)
+    assert inl[gt_in].mean() > 0.9, f"recall {inl[gt_in].mean():.2f}"
+    assert inl[~gt_in].mean() < 0.1
+
+
 def test_pnp_ransac_recovers_pose():
     _, _, gt_in, (R, t, Pw, p2) = _two_view_scene(seed=2)
     p2n = p2.copy()

@@ -223,9 +223,23 @@ def marginalize_old(
         )
     else:
         imu_m = imu
-    H, b = solver_mod.build_system(cfg, x, vis_m, imu_m, prior, gravity)
+    s, _ = solver_mod.normal_equations_structured(
+        cfg, x, vis_m, imu_m, prior, gravity)
 
-    drop, keep = drop_keep_old(cfg.maxf)
+    # Stage 1 — eliminate ALL landmark dims first.  The λ block is diagonal,
+    # so its pseudo-inverse (the reference's eigendecomp pinv with the
+    # EIG_EPS clamp, marginalization_factor.cpp:276-296) is elementwise;
+    # Schur complements compose, so (λ then pose0/sb0) equals the joint
+    # elimination.  Avoids ever forming the (NX+MAXF)² Hessian.
+    Hpp = s.Hpp[:NX, :NX]
+    Hpl = s.Hpl[:NX]
+    dinv = jnp.where(s.dl > EIG_EPS, 1.0 / jnp.maximum(s.dl, EIG_EPS), 0.0)
+    H = Hpp - (Hpl * dinv[None, :]) @ Hpl.T
+    b = s.gp[:NX] - Hpl @ (dinv * s.gl)
+
+    # Stage 2 — eliminate pose0+sb0 (15 static dims) and emit the sqrt prior.
+    drop = np.asarray(_pose_dims(0) + _sb_dims(0))
+    keep = np.asarray([d for d in range(NX) if d not in set(drop.tolist())])
     new_pos = _shifted_positions_old(keep)
     J_new, r_new = _schur_sqrt_prior(
         H, b, jnp.asarray(drop), jnp.asarray(keep), jnp.asarray(new_pos), dtype

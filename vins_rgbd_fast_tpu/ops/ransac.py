@@ -53,10 +53,14 @@ def _random_subsets(key, valid, n_trials, k):
 # ---------------------------------------------------------------------------
 
 
-def _normalize_pts(p):
-    """Hartley normalization: zero-mean, mean distance √2."""
-    mean = jnp.mean(p, axis=0)
-    d = jnp.mean(jnp.linalg.norm(p - mean, axis=-1))
+def _normalize_pts(p, w=None):
+    """Hartley normalization: zero-mean, mean distance √2 (optionally
+    weighted — rows with w=0 are ignored)."""
+    if w is None:
+        w = jnp.ones(p.shape[0], p.dtype)
+    wn = w / jnp.maximum(jnp.sum(w), 1e-9)
+    mean = jnp.sum(p * wn[:, None], axis=0)
+    d = jnp.sum(wn * jnp.linalg.norm(p - mean, axis=-1))
     s = jnp.sqrt(2.0) / jnp.maximum(d, 1e-9)
     T = jnp.asarray(
         [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], p.dtype
@@ -85,20 +89,25 @@ def _smallest_eigvec(M, iters: int = 3):
     return v
 
 
-def _eight_point(p1, p2, rank2: bool = True):
-    """F from 8 correspondences (normalized 8-point).
+def _eight_point(p1, p2, rank2: bool = True, w=None):
+    """F from ≥8 correspondences (normalized 8-point, optionally weighted
+    least squares over all rows with w>0 — used for the consensus refit).
 
     ``rank2=False`` skips the rank-2 projection: a TPU 3x3 SVD is a slow
     Jacobi iteration, and for *inlier scoring* the rank-3 least-squares F
     defines nearly identical epipolar distances — RANSAC trials score with
     rank-3 and only the final model is projected."""
-    p1n, T1 = _normalize_pts(p1)
-    p2n, T2 = _normalize_pts(p2)
+    p1n, T1 = _normalize_pts(p1, w)
+    p2n, T2 = _normalize_pts(p2, w)
     x1, y1 = p1n[:, 0], p1n[:, 1]
     x2, y2 = p2n[:, 0], p2n[:, 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1)
-    F = _smallest_eigvec(A.T @ A).reshape(3, 3)
+    if w is not None:
+        M = (A * w[:, None]).T @ A
+    else:
+        M = A.T @ A
+    F = _smallest_eigvec(M).reshape(3, 3)
     if rank2:
         U, S, Vt = jnp.linalg.svd(F)
         S = S.at[2].set(0.0)
@@ -141,11 +150,23 @@ def fundamental_ransac(
 
     counts, Fs = jax.vmap(one_trial)(subsets)
     best = jnp.argmax(counts)
-    # rank-2 projection once, on the winner only (one SVD, not n_trials)
-    U, S, Vt = jnp.linalg.svd(Fs[best])
-    F = (U * S.at[2].set(0.0)[None, :]) @ Vt
+    F = Fs[best]
     e = _epipolar_err(F, p1, p2)
     inliers = (e < threshold) & valid
+
+    # Consensus refit (what makes cv::findFundamentalMat's classification
+    # high-recall): a single 8-point sample misclassifies most inliers at a
+    # 1px threshold; re-solving F by least squares over the WHOLE consensus
+    # set tightens the model so the final inlier test recovers them.
+    for _ in range(2):
+        w = inliers.astype(dtype)
+        F_ref = _eight_point(p1, p2, rank2=True, w=w)
+        e_ref = _epipolar_err(F_ref, p1, p2)
+        inl_ref = (e_ref < threshold) & valid
+        better = jnp.sum(inl_ref) >= jnp.sum(inliers)
+        F = jnp.where(better, F_ref, F)
+        inliers = jnp.where(better, inl_ref, inliers)
+
     ok = n_valid >= min_valid
     # degenerate input: keep everything (reference skips rejectWithF when <8)
     inliers = jnp.where(ok, inliers, valid)

@@ -182,6 +182,37 @@ def _proj_grid(cfg: SolverConfig, x: WindowState, vis: VisualData, with_jac: boo
     return (r, Jl) if with_jac else (r, None)
 
 
+class StructuredSystem(NamedTuple):
+    """Normal equations in dense-Schur form: the landmark (inverse-depth)
+    block is DIAGONAL — each λ_f couples only to poses/ex/td — so we never
+    materialize the full (NX+MAXF)² Hessian.  ``p``-side dims are
+    [NX pose-side | 6 relo (if with_relo)].
+
+    This is the structure Ceres' DENSE_SCHUR exploits
+    (estimator.cpp:1350 ``options.linear_solver_type``); on TPU it turns
+    the per-iteration O((NX+MAXF)³) Cholesky into one (NXP,MAXF)×(MAXF,NXP)
+    MXU matmul + an O(NXP³) Cholesky."""
+
+    Hpp: jax.Array  # (NXP, NXP)
+    Hpl: jax.Array  # (NXP, MAXF)
+    dl: jax.Array   # (MAXF,) diagonal of the λ block
+    gp: jax.Array   # (NXP,)
+    gl: jax.Array   # (MAXF,)
+
+
+def nxp(cfg: SolverConfig) -> int:
+    return NX + (6 if cfg.with_relo else 0)
+
+
+def _empty_system(cfg: SolverConfig, dtype) -> StructuredSystem:
+    n = nxp(cfg)
+    return StructuredSystem(
+        Hpp=jnp.zeros((n, n), dtype), Hpl=jnp.zeros((n, cfg.maxf), dtype),
+        dl=jnp.zeros((cfg.maxf,), dtype), gp=jnp.zeros((n,), dtype),
+        gl=jnp.zeros((cfg.maxf,), dtype),
+    )
+
+
 def _accumulate_proj(cfg: SolverConfig, vis: VisualData, r, Jl, H, g):
     """Scatter-free accumulation of the projection-factor normal equations.
 
@@ -267,6 +298,84 @@ def _accumulate_proj(cfg: SolverConfig, vis: VisualData, r, Jl, H, g):
     g = g.at[NX:NX + maxf].add(jnp.einsum("fjp,fjp->f", Jlam, r))
     g = g.at[TD_OFF].add(jnp.einsum("fjp,fjp->", Jt, r))
     return H, g
+
+
+def _accumulate_proj_s(cfg: SolverConfig, vis: VisualData, r, Jl,
+                       s: StructuredSystem) -> StructuredSystem:
+    """Structured (Schur-form) accumulation of the projection factors —
+    same math as ``_accumulate_proj`` with the λ row/column split out."""
+    dtype = s.Hpp.dtype
+    maxf = cfg.maxf
+    Oi = jax.nn.one_hot(vis.start, FRAMES, dtype=dtype)  # (MAXF, 11)
+
+    Ji = Jl[..., 0:6]    # (F, J, 2, 6)
+    Jj = Jl[..., 6:12]
+    Je = Jl[..., 12:18]
+    Jlam = Jl[..., 18]   # (F, J, 2)
+    Jt = Jl[..., 19]
+
+    def blk(A, B):  # (F,J,2,a) x (F,J,2,b) -> (F,J,a,b)
+        return jnp.einsum("fjpa,fjpb->fjab", A, B)
+
+    M_ii = blk(Ji, Ji)
+    M_ij = blk(Ji, Jj)
+    M_jj = blk(Jj, Jj)
+    M_ie = blk(Ji, Je)
+    M_je = blk(Jj, Je)
+    M_ee = blk(Je, Je)
+
+    H = s.Hpp
+    g = s.gp
+
+    # --- pose-pose 66×66 block grid ---
+    diag_ii = jnp.einsum("fa,fjxy->axy", Oi, M_ii)
+    diag_jj = jnp.einsum("fjxy->jxy", M_jj)
+    cross_ij = jnp.einsum("fa,fbxy->abxy", Oi, M_ij)
+    eye_f = jnp.eye(FRAMES, dtype=dtype)
+    Hpp = cross_ij + jnp.swapaxes(jnp.swapaxes(cross_ij, 0, 1), 2, 3)
+    Hpp = Hpp + jnp.einsum("ab,axy->abxy", eye_f, diag_ii + diag_jj)
+    H = H.at[:NP, :NP].add(Hpp.transpose(0, 2, 1, 3).reshape(NP, NP))
+
+    # --- pose-ex ---
+    Hpe = (jnp.einsum("fa,fjxy->axy", Oi, M_ie)
+           + jnp.einsum("fjxy->jxy", M_je)).reshape(NP, 6)
+    H = H.at[:NP, EX_OFF:EX_OFF + 6].add(Hpe)
+    H = H.at[EX_OFF:EX_OFF + 6, :NP].add(Hpe.T)
+    H = H.at[EX_OFF:EX_OFF + 6, EX_OFF:EX_OFF + 6].add(
+        jnp.einsum("fjxy->xy", M_ee))
+
+    # --- λ diagonal + couplings (structured: no scatter into a big H) ---
+    dl = s.dl + jnp.einsum("fjp,fjp->f", Jlam, Jlam)
+    A_i = jnp.einsum("fjpx,fjp->fx", Ji, Jlam)  # (F,6) summed over j
+    A_j = jnp.einsum("fjpx,fjp->fjx", Jj, Jlam)  # (F,J,6)
+    Hplam = (jnp.einsum("fa,fx->axf", Oi, A_i)
+             + jnp.einsum("fjx->jxf", A_j)).reshape(NP, maxf)
+    Hpl = s.Hpl.at[:NP, :].add(Hplam)
+    Hpl = Hpl.at[EX_OFF:EX_OFF + 6, :].add(
+        jnp.einsum("fjpx,fjp->xf", Je, Jlam))
+    Hpl = Hpl.at[TD_OFF, :].add(jnp.einsum("fjp,fjp->f", Jlam, Jt))
+
+    # --- td row/col ---
+    t_t = jnp.einsum("fjp,fjp->", Jt, Jt)
+    H = H.at[TD_OFF, TD_OFF].add(t_t)
+    t_pose = (jnp.einsum("fa,fjpx,fjp->ax", Oi, Ji, Jt)
+              + jnp.einsum("fjpx,fjp->jx", Jj, Jt)).reshape(NP)
+    H = H.at[TD_OFF, :NP].add(t_pose)
+    H = H.at[:NP, TD_OFF].add(t_pose)
+    t_ex = jnp.einsum("fjpx,fjp->x", Je, Jt)
+    H = H.at[TD_OFF, EX_OFF:EX_OFF + 6].add(t_ex)
+    H = H.at[EX_OFF:EX_OFF + 6, TD_OFF].add(t_ex)
+
+    # --- gradient ---
+    g_i = jnp.einsum("fjpx,fjp->fx", Ji, r)
+    g_j = jnp.einsum("fjpx,fjp->fjx", Jj, r)
+    g_pose = (jnp.einsum("fa,fx->ax", Oi, g_i)
+              + jnp.einsum("fjx->jx", g_j)).reshape(NP)
+    g = g.at[:NP].add(g_pose)
+    g = g.at[EX_OFF:EX_OFF + 6].add(jnp.einsum("fjpx,fjp->x", Je, r))
+    g = g.at[TD_OFF].add(jnp.einsum("fjp,fjp->", Jt, r))
+    gl = s.gl + jnp.einsum("fjp,fjp->f", Jlam, r)
+    return StructuredSystem(Hpp=H, Hpl=Hpl, dl=dl, gp=g, gl=gl)
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +488,70 @@ def _accumulate_relo(cfg: SolverConfig, vis: VisualData, r, Jl, H, g):
     return H, g
 
 
+def _accumulate_relo_s(cfg: SolverConfig, vis: VisualData, r, Jl,
+                       s: StructuredSystem) -> StructuredSystem:
+    """Structured accumulation of the relo factors; the relo pose block
+    lives at p-side offset NX (the λ tail is split out)."""
+    dtype = s.Hpp.dtype
+    RO = NX  # structured p-side offset of the relo block
+    Oi = jax.nn.one_hot(vis.start, FRAMES, dtype=dtype)  # (MAXF, 11)
+
+    Ji = Jl[..., 0:6]   # (F,2,6)
+    Jr = Jl[..., 6:12]  # relo block
+    Je = Jl[..., 12:18]
+    Jlam = Jl[..., 18]  # (F,2)
+    Jt = Jl[..., 19]
+
+    def blk(A, B):
+        return jnp.einsum("fpa,fpb->fab", A, B)
+
+    H = s.Hpp
+    g = s.gp
+    # pose-pose diagonal blocks (i,i)
+    Hpp = jnp.einsum("fa,fxy->axy", Oi, blk(Ji, Ji))
+    Hpp66 = jnp.einsum("ab,axy->abxy", jnp.eye(FRAMES, dtype=dtype), Hpp)
+    H = H.at[:NP, :NP].add(Hpp66.transpose(0, 2, 1, 3).reshape(NP, NP))
+    # pose-relo
+    Hpr = jnp.einsum("fa,fxy->axy", Oi, blk(Ji, Jr)).reshape(NP, 6)
+    H = H.at[:NP, RO:RO + 6].add(Hpr)
+    H = H.at[RO:RO + 6, :NP].add(Hpr.T)
+    # relo-relo
+    H = H.at[RO:RO + 6, RO:RO + 6].add(jnp.einsum("fxy->xy", blk(Jr, Jr)))
+    # ex couplings
+    Hpe = jnp.einsum("fa,fxy->axy", Oi, blk(Ji, Je)).reshape(NP, 6)
+    H = H.at[:NP, EX_OFF:EX_OFF + 6].add(Hpe)
+    H = H.at[EX_OFF:EX_OFF + 6, :NP].add(Hpe.T)
+    Hre = jnp.einsum("fxy->xy", blk(Jr, Je))
+    H = H.at[RO:RO + 6, EX_OFF:EX_OFF + 6].add(Hre)
+    H = H.at[EX_OFF:EX_OFF + 6, RO:RO + 6].add(Hre.T)
+    H = H.at[EX_OFF:EX_OFF + 6, EX_OFF:EX_OFF + 6].add(
+        jnp.einsum("fxy->xy", blk(Je, Je)))
+    # λ diagonal + couplings
+    dl = s.dl + jnp.einsum("fp,fp->f", Jlam, Jlam)
+    A_i = jnp.einsum("fpx,fp->fx", Ji, Jlam)
+    Hpl = s.Hpl.at[:NP, :].add(
+        jnp.einsum("fa,fx->axf", Oi, A_i).reshape(NP, cfg.maxf))
+    Hpl = Hpl.at[RO:RO + 6, :].add(jnp.einsum("fpx,fp->xf", Jr, Jlam))
+    Hpl = Hpl.at[EX_OFF:EX_OFF + 6, :].add(jnp.einsum("fpx,fp->xf", Je, Jlam))
+    Hpl = Hpl.at[TD_OFF, :].add(jnp.einsum("fp,fp->f", Jlam, Jt))
+    # td row
+    H = H.at[TD_OFF, TD_OFF].add(jnp.einsum("fp,fp->", Jt, Jt))
+    t_pose = jnp.einsum("fa,fpx,fp->ax", Oi, Ji, Jt).reshape(NP)
+    H = H.at[TD_OFF, :NP].add(t_pose)
+    H = H.at[:NP, TD_OFF].add(t_pose)
+    t_relo = jnp.einsum("fpx,fp->x", Jr, Jt)
+    H = H.at[TD_OFF, RO:RO + 6].add(t_relo)
+    H = H.at[RO:RO + 6, TD_OFF].add(t_relo)
+    # gradient
+    g_i = jnp.einsum("fpx,fp->fx", Ji, r)
+    g = g.at[:NP].add(jnp.einsum("fa,fx->ax", Oi, g_i).reshape(NP))
+    g = g.at[RO:RO + 6].add(jnp.einsum("fpx,fp->x", Jr, r))
+    g = g.at[EX_OFF:EX_OFF + 6].add(jnp.einsum("fpx,fp->x", Je, r))
+    g = g.at[TD_OFF].add(jnp.einsum("fp,fp->", Jt, r))
+    gl = s.gl + jnp.einsum("fp,fp->f", Jlam, r)
+    return StructuredSystem(Hpp=H, Hpl=Hpl, dl=dl, gp=g, gl=gl)
+
+
 # ---------------------------------------------------------------------------
 # IMU factors (static placement — WINDOW_SIZE rows, no dynamic indices)
 # ---------------------------------------------------------------------------
@@ -410,19 +583,30 @@ def _imu_batch(cfg: SolverConfig, x: WindowState, imu: ImuData, gravity,
     return (r, Jl) if with_jac else (r, None)
 
 
-def _accumulate_imu(cfg: SolverConfig, r, Jl, H, g):
-    """Static-slice accumulation of the 10 IMU factors (rows form)."""
-    dtype = H.dtype
-    rows = jnp.zeros((WINDOW_SIZE, 15, cfg.nt), dtype)
+def _imu_rows(cfg: SolverConfig, Jl, dtype):
+    """(W·15, NX) dense rows of the IMU factors (static pads, no scatter)."""
+    rows = jnp.zeros((WINDOW_SIZE, 15, NX), dtype)
     for j in range(WINDOW_SIZE):  # static offsets — pure pads, no scatter
         rows = rows.at[j, :, POSE_DIM * j:POSE_DIM * (j + 1)].set(Jl[j, :, 0:6])
         rows = rows.at[j, :, NP + SB_DIM * j:NP + SB_DIM * (j + 1)].set(Jl[j, :, 6:15])
         rows = rows.at[j, :, POSE_DIM * (j + 1):POSE_DIM * (j + 2)].set(Jl[j, :, 15:21])
         rows = rows.at[j, :, NP + SB_DIM * (j + 1):NP + SB_DIM * (j + 2)].set(Jl[j, :, 21:30])
-    R = rows.reshape(-1, cfg.nt)
-    H = H + R.T @ R
-    g = g + R.T @ r.reshape(-1)
+    return rows.reshape(-1, NX)
+
+
+def _accumulate_imu(cfg: SolverConfig, r, Jl, H, g):
+    """Static-slice accumulation of the 10 IMU factors (rows form)."""
+    R = _imu_rows(cfg, Jl, H.dtype)
+    H = H.at[:NX, :NX].add(R.T @ R)
+    g = g.at[:NX].add(R.T @ r.reshape(-1))
     return H, g
+
+
+def _accumulate_imu_s(cfg: SolverConfig, r, Jl, s: StructuredSystem) -> StructuredSystem:
+    R = _imu_rows(cfg, Jl, s.Hpp.dtype)
+    Hpp = s.Hpp.at[:NX, :NX].add(R.T @ R)
+    gp = s.gp.at[:NX].add(R.T @ r.reshape(-1))
+    return s._replace(Hpp=Hpp, gp=gp)
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +650,73 @@ def free_mask(cfg: SolverConfig, vis: VisualData, dtype, td_free=None,
     return m
 
 
+def normal_equations_structured(
+    cfg: SolverConfig,
+    x: WindowState,
+    vis: VisualData,
+    imu: Optional[ImuData],
+    prior: PriorFactor,
+    gravity: jax.Array,
+    sqrt_infos: Optional[jax.Array] = None,
+    relo: Optional[ReloData] = None,
+) -> Tuple[StructuredSystem, jax.Array]:
+    """Assemble the normal equations in dense-Schur form (landmark block
+    split out as a diagonal) — one pass, scatter-free.  Returns (sys, cost)."""
+    dtype = x.P.dtype
+    s = _empty_system(cfg, dtype)
+
+    rp = _prior_residual(cfg, x, prior)
+    Jp = prior.J * prior.valid.astype(dtype)
+    s = s._replace(
+        Hpp=s.Hpp.at[:NX, :NX].add(Jp.T @ Jp),
+        gp=s.gp.at[:NX].add(Jp.T @ rp),
+    )
+    cost = jnp.sum(rp * rp)
+
+    r_proj, Jl_proj = _proj_grid(cfg, x, vis, with_jac=True)
+    s = _accumulate_proj_s(cfg, vis, r_proj, Jl_proj, s)
+    cost = cost + jnp.sum(r_proj * r_proj)
+
+    if cfg.with_relo and relo is not None:
+        r_rl, Jl_rl = _relo_grid(cfg, x, vis, relo, with_jac=True)
+        s = _accumulate_relo_s(cfg, vis, r_rl, Jl_rl, s)
+        cost = cost + jnp.sum(r_rl * r_rl)
+
+    if cfg.use_imu and imu is not None:
+        if sqrt_infos is None:
+            sqrt_infos = _imu_sqrt_infos(imu)
+        r_imu, Jl_imu = _imu_batch(cfg, x, imu, gravity, sqrt_infos, with_jac=True)
+        s = _accumulate_imu_s(cfg, r_imu, Jl_imu, s)
+        cost = cost + jnp.sum(r_imu * r_imu)
+
+    return s, 0.5 * cost
+
+
+def _full_from_structured(cfg: SolverConfig, s: StructuredSystem):
+    """Expand the Schur-form system into the flat (NT,NT) layout
+    [NX | MAXF λ | 6 relo] (compat path for marginalization/tests)."""
+    nt = cfg.nt
+    maxf = cfg.maxf
+    dtype = s.Hpp.dtype
+    H = jnp.zeros((nt, nt), dtype)
+    g = jnp.zeros((nt,), dtype)
+    H = H.at[:NX, :NX].set(s.Hpp[:NX, :NX])
+    H = H.at[:NX, NX:NX + maxf].set(s.Hpl[:NX])
+    H = H.at[NX:NX + maxf, :NX].set(s.Hpl[:NX].T)
+    H = H.at[jnp.arange(NX, NX + maxf), jnp.arange(NX, NX + maxf)].set(s.dl)
+    g = g.at[:NX].set(s.gp[:NX])
+    g = g.at[NX:NX + maxf].set(s.gl)
+    if cfg.with_relo:
+        RO = cfg.relo_off
+        H = H.at[RO:RO + 6, RO:RO + 6].set(s.Hpp[NX:NX + 6, NX:NX + 6])
+        H = H.at[RO:RO + 6, :NX].set(s.Hpp[NX:NX + 6, :NX])
+        H = H.at[:NX, RO:RO + 6].set(s.Hpp[:NX, NX:NX + 6])
+        H = H.at[RO:RO + 6, NX:NX + maxf].set(s.Hpl[NX:NX + 6])
+        H = H.at[NX:NX + maxf, RO:RO + 6].set(s.Hpl[NX:NX + 6].T)
+        g = g.at[RO:RO + 6].set(s.gp[NX:NX + 6])
+    return H, g
+
+
 def normal_equations(
     cfg: SolverConfig,
     x: WindowState,
@@ -476,35 +727,12 @@ def normal_equations(
     sqrt_infos: Optional[jax.Array] = None,
     relo: Optional[ReloData] = None,
 ):
-    """Assemble (H (NT,NT), g (NT,), cost) — one pass, scatter-free."""
-    dtype = x.P.dtype
-    nt = cfg.nt
-    H = jnp.zeros((nt, nt), dtype)
-    g = jnp.zeros((nt,), dtype)
-
-    rp = _prior_residual(cfg, x, prior)
-    Jp = prior.J * prior.valid.astype(dtype)
-    H = H.at[:NX, :NX].add(Jp.T @ Jp)
-    g = g.at[:NX].add(Jp.T @ rp)
-    cost = jnp.sum(rp * rp)
-
-    r_proj, Jl_proj = _proj_grid(cfg, x, vis, with_jac=True)
-    H, g = _accumulate_proj(cfg, vis, r_proj, Jl_proj, H, g)
-    cost = cost + jnp.sum(r_proj * r_proj)
-
-    if cfg.with_relo and relo is not None:
-        r_rl, Jl_rl = _relo_grid(cfg, x, vis, relo, with_jac=True)
-        H, g = _accumulate_relo(cfg, vis, r_rl, Jl_rl, H, g)
-        cost = cost + jnp.sum(r_rl * r_rl)
-
-    if cfg.use_imu and imu is not None:
-        if sqrt_infos is None:
-            sqrt_infos = _imu_sqrt_infos(imu)
-        r_imu, Jl_imu = _imu_batch(cfg, x, imu, gravity, sqrt_infos, with_jac=True)
-        H, g = _accumulate_imu(cfg, r_imu, Jl_imu, H, g)
-        cost = cost + jnp.sum(r_imu * r_imu)
-
-    return H, g, 0.5 * cost
+    """Assemble (H (NT,NT), g (NT,), cost) — flat-layout compat wrapper
+    around ``normal_equations_structured``."""
+    s, cost = normal_equations_structured(
+        cfg, x, vis, imu, prior, gravity, sqrt_infos, relo)
+    H, g = _full_from_structured(cfg, s)
+    return H, g, cost
 
 
 def total_cost(cfg, x, lam_vec, vis, imu, prior, gravity, sqrt_infos=None,
@@ -580,26 +808,40 @@ def solve(
     fm = free_mask(cfg, vis, dtype, td_free, relo_active)
     sqrt_infos = _imu_sqrt_infos(imu) if (cfg.use_imu and imu is not None) else None
     RO = cfg.relo_off
+    nP = nxp(cfg)
+    # p-side / λ split of the free mask (structured layout: relo after NX)
+    fmp = jnp.concatenate([fm[:NX], fm[RO:RO + 6]]) if cfg.with_relo else fm[:NX]
+    fml = fm[NX:NX + cfg.maxf]
 
     def step(carry, _):
         x, lam_vec, rP, rQ, lm, cost = carry
         vis_c = vis._replace(inv_depth=lam_vec)
         relo_c = relo._replace(P=rP, Q=rQ) if cfg.with_relo else None
-        H, g, _ = normal_equations(cfg, x, vis_c, imu, prior, gravity,
-                                   sqrt_infos, relo_c)
-        H = H * fm[None, :] * fm[:, None]
-        g = g * fm
-        diag = jnp.diagonal(H)
-        damp = lm * jnp.maximum(diag, 1e-6) + (1.0 - fm)
-        Hd = H + jnp.diag(damp)
-        L = jnp.linalg.cholesky(Hd)
-        dx = -jax.scipy.linalg.cho_solve((L, True), g)
-        dx = dx * fm
-        x_new = boxplus(x, dx[:NX])
-        lam_new = lam_vec + dx[NX:NX + cfg.maxf]
+        s, _ = normal_equations_structured(cfg, x, vis_c, imu, prior, gravity,
+                                           sqrt_infos, relo_c)
+        # dense Schur on the diagonal λ block (Ceres DENSE_SCHUR analog)
+        Hpp = s.Hpp * fmp[None, :] * fmp[:, None]
+        Hpl = s.Hpl * fmp[:, None] * fml[None, :]
+        dl = s.dl * fml
+        gp = s.gp * fmp
+        gl = s.gl * fml
+        damp_p = lm * jnp.maximum(jnp.diagonal(Hpp), 1e-6) + (1.0 - fmp)
+        damp_l = lm * jnp.maximum(dl, 1e-6) + (1.0 - fml)
+        A = Hpp + jnp.diag(damp_p)
+        D = dl + damp_l
+        Dinv = 1.0 / D
+        S = A - (Hpl * Dinv[None, :]) @ Hpl.T
+        gs = gp - Hpl @ (Dinv * gl)
+        L = jnp.linalg.cholesky(S)
+        dxp = -jax.scipy.linalg.cho_solve((L, True), gs)
+        dxl = -Dinv * (gl + Hpl.T @ dxp)
+        dxp = dxp * fmp
+        dxl = dxl * fml
+        x_new = boxplus(x, dxp[:NX])
+        lam_new = lam_vec + dxl
         if cfg.with_relo:
-            rP_new = rP + dx[RO:RO + 3]
-            rQ_new = quat.qboxplus(rQ, dx[RO + 3:RO + 6])
+            rP_new = rP + dxp[NX:NX + 3]
+            rQ_new = quat.qboxplus(rQ, dxp[NX + 3:NX + 6])
             relo_new = relo._replace(P=rP_new, Q=rQ_new)
         else:
             rP_new, rQ_new, relo_new = rP, rQ, None

@@ -1,0 +1,207 @@
+"""Fused batched throughput runner: the WHOLE per-frame pipeline
+(IMU-aided prediction → tracker → depth lookup → backend solve) as one
+compiled program, vmapped over B independent sequences and ``lax.scan``-ned
+over T frames — zero host work and zero dispatches inside the loop.
+
+This is the TPU-native replacement for the reference's multi-machine story
+(two ROS nodelets over TCPROS, ``doc/RUNNING_PROCEDURE.md``): the scaling
+axis is sequence-parallel throughput (robot fleets, bag replays, eval
+sweeps).  Across chips the batch axis shards over a ``jax.sharding.Mesh``
+— sequences are independent, so XLA inserts no collectives and scaling is
+linear by construction.
+
+Design notes
+  * All per-frame sensor data is STAGED on device up front (images (T,B,H,W),
+    depths, IMU interval buckets).  In production this is the sensor DMA
+    path; in the bench it removes the host→device tunnel from the measured
+    loop.  Memory: T·B·H·W·4 B ≈ 1.2 MB/frame/seq — chunk T if needed.
+  * The gyro-only relative-rotation prediction (``Estimator::predictMotion``,
+    estimator.cpp:1790-1860) runs ON DEVICE from the staged interval and the
+    current per-sequence gyro bias — the host pipeline computes it from its
+    own IMU buffer instead (pipeline.py:_predict_relative_R).
+  * ``vmap`` turns the solver's ``lax.cond`` branches into both-execute
+    selects; the marginalization/solve path is structured (dense Schur on
+    the diagonal landmark block) so both branches stay cheap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..backend import estimator as est
+from ..backend.state import WINDOW_SIZE
+from ..frontend import feature_tracker as ft
+from ..models.camera import CameraModel
+from ..utils import quaternion as quat
+
+
+class FrameBatch(NamedTuple):
+    """Per-frame staged inputs with leading axes (T, B, ...)."""
+
+    imgs: jax.Array    # (T, B, H, W)
+    depths: jax.Array  # (T, B, H, W)
+    ts: jax.Array      # (T, B)
+    imu_dts: jax.Array  # (T, B, MAXI)
+    imu_acc: jax.Array  # (T, B, MAXI+1, 3)
+    imu_gyr: jax.Array  # (T, B, MAXI+1, 3)
+
+
+class ScanOutputs(NamedTuple):
+    """Per-frame per-sequence outputs of the scanned runner (T, B, ...)."""
+
+    P: jax.Array
+    Q: jax.Array
+    V: jax.Array
+    cost: jax.Array
+    is_keyframe: jax.Array
+    n_features: jax.Array
+
+
+def gyro_relative_R(dts: jax.Array, gyr: jax.Array, bg: jax.Array,
+                    qic: jax.Array) -> jax.Array:
+    """Camera-frame relative rotation R_{c1<-c0} from one interval's raw
+    gyro samples (device twin of ``VinsPipeline._predict_relative_R``).
+
+    ``dts (MAXI,)``, ``gyr (MAXI+1, 3)`` zero-padded; sample k spans dt[k]
+    ending at gyr[k+1] (the host path integrates each sample's own rate
+    over its dt)."""
+    dtype = gyr.dtype
+
+    def body(q, k):
+        th = (gyr[k + 1] - bg) * dts[k]
+        q2 = quat.qmul(q, quat.so3_exp(th))
+        q = jnp.where(dts[k] > 0, q2, q)
+        return q, None
+
+    q0 = quat.q_identity(dtype)
+    q_imu, _ = jax.lax.scan(body, q0, jnp.arange(dts.shape[0]))
+    R_imu = quat.q2R(quat.qnormalize(q_imu))  # body rotation over interval
+    R_ic = quat.q2R(qic)
+    return R_ic.T @ R_imu.T @ R_ic
+
+
+class BatchedVioRunner:
+    """Compiled batched multi-sequence VIO (steady-state NON_LINEAR phase).
+
+    Usage: warm each sequence up through the normal host ``VinsPipeline``
+    until NON_LINEAR, stack the states (``stack_states``), stage frames
+    (``stage_frames``), then ``run(states, batch)`` processes all frames of
+    all sequences in one dispatch.
+    """
+
+    def __init__(self, tcfg: ft.TrackerConfig, cam: CameraModel,
+                 ecfg: est.EstimatorConfig, mesh: Optional[Mesh] = None,
+                 axis: str = "batch", unroll: int = 1):
+        self.tcfg = tcfg
+        self.cam = cam
+        self.ecfg = ecfg
+        self.mesh = mesh
+        self.axis = axis
+
+        tcfg_ = tcfg
+        cam_ = cam
+        ecfg_ = ecfg
+
+        def frame_step(carry, inp):
+            trk, st, base_keys, step_idx = carry
+            img, depth, t, idts, iacc, igyr = inp  # (B, ...) each
+            imu = est.ImuInterval(dts=idts, acc=iacc, gyr=igyr)
+            bg = st.x.Bg[:, WINDOW_SIZE]  # (B,3) newest solved gyro bias
+            relR = jax.vmap(gyro_relative_R)(idts, igyr, bg, st.x.qic)
+            keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                base_keys, step_idx)
+            trk, tout = jax.vmap(
+                lambda s, im, tt, r, k: ft.track_frame(
+                    tcfg_, cam_, s, im, tt, r, k)
+            )(trk, img, t, relR, keys)
+            feats = tout.features
+            d = jax.vmap(ft.lookup_depth)(depth, feats.uv, feats.ids >= 0)
+            feats = feats._replace(depth=d)
+            st, sout = jax.vmap(
+                lambda s, f, i, k: est.vio_step(ecfg_, s, f, i, k)
+            )(st, feats, imu, keys)
+            out = ScanOutputs(P=sout.P, Q=sout.Q, V=sout.V, cost=sout.cost,
+                              is_keyframe=sout.is_keyframe,
+                              n_features=sout.n_features)
+            return (trk, st, base_keys, step_idx + 1), out
+
+        @partial(jax.jit, static_argnames=())
+        def run(trk_states, est_states, batch: FrameBatch):
+            B = batch.ts.shape[1]
+            base_keys = jax.random.split(jax.random.PRNGKey(17), B)
+            with jax.default_matmul_precision("float32"):
+                (trk, st, _, _), outs = jax.lax.scan(
+                    frame_step,
+                    (trk_states, est_states, base_keys, jnp.asarray(0, jnp.int32)),
+                    (batch.imgs, batch.depths, batch.ts,
+                     batch.imu_dts, batch.imu_acc, batch.imu_gyr),
+                    unroll=unroll,
+                )
+            return trk, st, outs
+
+        self._run = run
+
+    # -- staging helpers -------------------------------------------------
+    def shard_spec(self, ndim_batch_axis: int = 0):
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(*([None] * ndim_batch_axis + [self.axis])))
+
+    def put_batch(self, tree):
+        """Shard a (T, B, ...) pytree's B axis over the mesh (no-op without
+        a mesh)."""
+        if self.mesh is None:
+            return tree
+        sh = NamedSharding(self.mesh, P(None, self.axis))
+        return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+    def put_states(self, tree):
+        if self.mesh is None:
+            return tree
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+    def run(self, trk_states, est_states, batch: FrameBatch):
+        """Process all T frames of all B sequences; returns
+        (tracker_states, estimator_states, ScanOutputs (T,B,...))."""
+        return self._run(trk_states, est_states, batch)
+
+
+def stack_states(pipes) -> Tuple:
+    """Stack per-sequence host pipelines' device states into batched pytrees."""
+    stack = lambda trees: jax.tree.map(lambda *a: jnp.stack(a), *trees)
+    trk = stack([p.tracker_state for p in pipes])
+    st = stack([p.estimator.state for p in pipes])
+    return trk, st
+
+
+def stage_frames(pipes, frame_lists, t_start: int, t_end: int,
+                 dtype=jnp.float32) -> FrameBatch:
+    """Build a FrameBatch covering frames [t_start, t_end) from per-sequence
+    (t, img, depth) lists, collecting each frame's IMU interval via the
+    host estimator's pairing logic (one-time staging cost, outside the
+    measured loop)."""
+    B = len(pipes)
+    imgs, depths, ts = [], [], []
+    dts, acc, gyr = [], [], []
+    for k in range(t_start, t_end):
+        imgs.append(jnp.stack([jnp.asarray(frame_lists[b][k][1], dtype)
+                               for b in range(B)]))
+        depths.append(jnp.stack([jnp.asarray(frame_lists[b][k][2], dtype)
+                                 for b in range(B)]))
+        ts.append(jnp.asarray([frame_lists[b][k][0] for b in range(B)], dtype))
+        ivs = [pipes[b].estimator._collect_interval(
+            frame_lists[b][k - 1][0], frame_lists[b][k][0]) for b in range(B)]
+        dts.append(jnp.stack([iv.dts for iv in ivs]))
+        acc.append(jnp.stack([iv.acc for iv in ivs]))
+        gyr.append(jnp.stack([iv.gyr for iv in ivs]))
+    return FrameBatch(
+        imgs=jnp.stack(imgs), depths=jnp.stack(depths), ts=jnp.stack(ts),
+        imu_dts=jnp.stack(dts), imu_acc=jnp.stack(acc), imu_gyr=jnp.stack(gyr),
+    )
