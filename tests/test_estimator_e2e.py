@@ -110,6 +110,38 @@ def test_dynamic_init_e2e():
     assert abs(d_est - d_gt) < max(0.1 * d_gt, 0.08), (d_est, d_gt)
 
 
+def test_mono_init_e2e_no_depth():
+    """Monocular (depth-less) initialization: with every depth measurement
+    zeroed during the fill phase, the dynamic path must fall back to the
+    essential-RANSAC + SFM + scale-solving alignment (``GlobalSFM::construct``
+    + ``LinearAlignment``) and still bootstrap a metric trajectory."""
+    cfg = VinsConfig(
+        imu=True, static_init=False, estimate_td=False,
+        max_cnt=MAXC, max_features=MAXC, max_imu_per_frame=16,
+        fix_depth=True, depth_min_dist=0.3, depth_max_dist=10.0,
+        acc_n=0.1, gyr_n=0.01, acc_w=1e-4, gyr_w=1e-5,
+    )
+    traj = simulate_long_trajectory(25, seed=31, omega_scale=0.3, acc_scale=0.6)
+    L = make_landmark_field(traj, n_landmarks=500, seed=32)
+    e = est.VinsEstimator(cfg, dtype=jnp.float64)
+    for (t, a, w) in traj["imu"]:
+        e.push_imu(t, a, w)
+    outs = []
+    for k in range(25):
+        feats = project_frame_features(traj["P"][k], traj["Q"][k], L, MAXC)
+        feats = feats._replace(depth=jnp.zeros_like(feats.depth))
+        out = e.process_features(feats, float(traj["times"][k]))
+        if out is not None:
+            outs.append((k, out))
+    assert len(outs) >= 8, f"mono init produced {len(outs)} outputs"
+    # metric scale must be recovered from the IMU: compare relative motion
+    k0, o0 = outs[0]
+    k1, o1 = outs[-1]
+    d_est = np.linalg.norm(o1["P"] - o0["P"])
+    d_gt = np.linalg.norm(traj["P"][k1] - traj["P"][k0])
+    assert abs(d_est - d_gt) < max(0.15 * d_gt, 0.1), (d_est, d_gt)
+
+
 def test_latest_odometry_fast_path():
     """IMU-rate propagated odometry between frames (inputIMU->predict fast
     path): propagating half a frame ahead must land near ground truth."""

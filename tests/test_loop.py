@@ -250,3 +250,77 @@ def test_place_recognition_on_rendered_revisit():
     # verified relative pose should be small (true revisit offset)
     assert np.linalg.norm(info["rel_t"]) < 1.5
     assert abs(info["rel_yaw"]) < 10.0
+
+
+def _mini_posegraph(use_6dof=False):
+    cam = make_camera("PINHOLE", fx=230.0, fy=230.0, cx=160.0, cy=120.0,
+                      k1=0, k2=0, p1=0, p2=0, width=320, height=240)
+    cfg = pg.PoseGraphConfig(max_kp=32, max_wp=16, use_6dof=use_6dof)
+    return pg.PoseGraph(cfg, cam, np.eye(3), np.zeros(3))
+
+
+def test_update_keyframe_loop_sets_drift():
+    """Fast-relocalization feedback (``updateKeyFrameLoop``,
+    pose_graph.cpp:1063-1096): a refined loop-relative pose must update the
+    drift so apply_drift maps the drifted VIO pose onto the loop-implied
+    corrected pose."""
+    g = _mini_posegraph()
+    zeros_kp = dict(
+        kp_uv=np.zeros((32, 2)), kp_norm=np.zeros((32, 2)),
+        kp_valid=np.zeros(32, bool), kp_desc=np.zeros((32, 256), np.int8),
+        wp_world=np.zeros((16, 3)), wp_norm=np.zeros((16, 2)),
+        wp_valid=np.zeros(16, bool), wp_desc=np.zeros((16, 256), np.int8),
+    )
+    # old keyframe at origin (corrected == vio), current keyframe has
+    # accumulated vio drift: true pose = (2,0,0), vio thinks (2.4,0.3,0)
+    g.keyframes.append(pg.KeyFrameData(
+        index=0, t=0.0, sequence=1, P_vio=np.zeros(3),
+        Q_vio=np.array([1.0, 0, 0, 0]), **zeros_kp))
+    P_vio_cur = np.array([2.4, 0.3, 0.0])
+    g.keyframes.append(pg.KeyFrameData(
+        index=1, t=5.0, sequence=1, P_vio=P_vio_cur,
+        Q_vio=np.array([1.0, 0, 0, 0]), **zeros_kp))
+    g.loops.append(dict(cur=1, old=0, rel_t=np.zeros(3), rel_yaw=0.0,
+                        rel_q=np.array([1.0, 0, 0, 0])))
+    # refined relative pose from the estimator: cur is truly at (2,0,0)
+    rel_t = np.array([2.0, 0.0, 0.0])
+    rel_q = np.array([1.0, 0, 0, 0])
+    g.update_keyframe_loop(1, rel_t, rel_q, 0.0)
+    P_corr, Q_corr = g.apply_drift(P_vio_cur, np.array([1.0, 0, 0, 0]))
+    np.testing.assert_allclose(P_corr, [2.0, 0.0, 0.0], atol=1e-6)
+    # and the stored loop edge was refined
+    assert np.allclose(g.loops[-1]["rel_t"], rel_t)
+
+
+def test_cross_sequence_alignment_merges_worlds():
+    """First cross-sequence loop aligns the new sequence's world frame onto
+    the map (w_r_vio/w_t_vio, pose_graph.cpp:49-144)."""
+    g = _mini_posegraph()
+    zeros_kp = dict(
+        kp_uv=np.zeros((32, 2)), kp_norm=np.zeros((32, 2)),
+        kp_valid=np.zeros(32, bool), kp_desc=np.zeros((32, 256), np.int8),
+        wp_world=np.zeros((16, 3)), wp_norm=np.zeros((16, 2)),
+        wp_valid=np.zeros(16, bool), wp_desc=np.zeros((16, 256), np.int8),
+    )
+    # sequence-1 keyframe at (1,0,0)
+    g.keyframes.append(pg.KeyFrameData(
+        index=0, t=0.0, sequence=1, P_vio=np.array([1.0, 0, 0]),
+        Q_vio=np.array([1.0, 0, 0, 0]), **zeros_kp))
+    g._db_append(np.zeros((32, 256), np.int8))
+    g.new_sequence()  # sequence 2, alignment reset
+    assert g.sequence == 2 and not g.sequence_aligned[2]
+    # sequence-2 keyframe whose own world says (0,0,0) but that truly sits
+    # at the sequence-1 keyframe's location offset by rel_t=(0.5,0,0)
+    kf = pg.KeyFrameData(
+        index=1, t=10.0, sequence=2, P_vio=np.zeros(3),
+        Q_vio=np.array([1.0, 0, 0, 0]), **zeros_kp)
+    loop_info = dict(cur=1, old=0, rel_t=np.array([0.5, 0, 0]),
+                     rel_yaw=0.0, rel_q=np.array([1.0, 0, 0, 0]))
+    kf2 = g._align_sequence(kf, g.keyframes[0], loop_info)
+    # aligned position: old (1,0,0) + rel (0.5,0,0) = (1.5,0,0)
+    np.testing.assert_allclose(kf2.P_vio, [1.5, 0.0, 0.0], atol=1e-6)
+    assert g.sequence_aligned[2]
+    # subsequent sequence-2 vio poses get the same mapping on entry
+    np.testing.assert_allclose(
+        g.w_r_vio @ np.array([0.2, 0, 0]) + g.w_t_vio, [1.7, 0.0, 0.0],
+        atol=1e-6)

@@ -50,7 +50,11 @@ def _revisit_trajectory(n_frames):
 
 
 @pytest.mark.slow
-def test_pipeline_with_loop_closure():
+def test_pipeline_with_loop_closure_and_fast_relo():
+    """Rendered revisit through the full stack with fast relocalization ON:
+    loops MUST fire, the estimator must consume the relo factors, and the
+    refined relative pose must round-trip into the pose graph's drift
+    (``updateKeyFrameLoop``)."""
     n = 34
     seq = _revisit_trajectory(n)
     cfg = VinsConfig(
@@ -61,28 +65,46 @@ def test_pipeline_with_loop_closure():
         num_grid_rows=4, num_grid_cols=5,
         frontend_freq=0.0, freq=0.0, depth_max_dist=12.0,
         acc_n=0.1, gyr_n=0.01, acc_w=1e-4, gyr_w=1e-5, max_imu_per_frame=16,
-        loop_closure=True, fast_relocalization=False,
+        loop_closure=True, fast_relocalization=True,
         keyframe_parallax=0.8,  # slow trajectory: keep most frames keyframes
     )
     pg_cfg = PoseGraphConfig(max_wp=cfg.feature_capacity, max_kp=128,
                              recency_exclusion=8, min_loop_num=12,
                              score_best=0.10, score_second=0.03)
     pipe = VinsPipeline(cfg, dtype=jnp.float32, pose_graph_config=pg_cfg)
+    relo_events = []
+    orig_update = None
+
     for (t, a, w) in seq.imu:
         pipe.push_imu(t, a, w)
     for (t, img, depth) in syn.frames(seq, RIG):
         pipe.push_image(t, np.asarray(img))
         pipe.push_depth(t, np.asarray(depth))
+
+    orig_update = pipe.pose_graph.update_keyframe_loop
+
+    def spy(index, rel_t, rel_q, rel_yaw, **kw):
+        relo_events.append((index, float(np.linalg.norm(rel_t)), rel_yaw))
+        return orig_update(index, rel_t, rel_q, rel_yaw, **kw)
+
+    pipe.pose_graph.update_keyframe_loop = spy
+
     traj = pipe.run()
     assert len(traj) >= 15
     assert pipe.pose_graph is not None
     assert len(pipe.pose_graph.keyframes) >= 10
     corrected = pipe.corrected_trajectory()
     assert len(corrected) == len(pipe.pose_graph.keyframes)
-    # whether or not a loop fired on this short run, the corrected path must
-    # be finite and close to the VIO path (drift is tiny on exact data)
     for rec in corrected:
         assert np.isfinite(rec["P"]).all()
-    if pipe.pose_graph.loops:
-        lp = pipe.pose_graph.loops[0]
+    # the revisit must close loops — this is the point of the test
+    assert len(pipe.pose_graph.loops) >= 1
+    for lp in pipe.pose_graph.loops:
         assert np.linalg.norm(lp["rel_t"]) < 3.0
+    # and the fast-relocalization feedback must have fired with a sane
+    # refined relative pose (the revisit's true relative distance is small)
+    assert len(relo_events) >= 1
+    for (_, rel_norm, rel_yaw) in relo_events:
+        assert rel_norm < 3.0
+        assert abs(rel_yaw) < 30.0
+    assert np.isfinite(pipe.pose_graph.t_drift).all()

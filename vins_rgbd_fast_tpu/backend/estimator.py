@@ -432,6 +432,12 @@ class StepOutput(NamedTuple):
     relo_P: jax.Array  # optimized relocalization pose (zeros if unused)
     relo_Q: jax.Array
     relo_used: jax.Array
+    # pose of the relocalized window frame (slot W-1: the keyframe whose
+    # match points were injected last step, post-slide position) — the
+    # host computes the refined loop-relative pose relo->cur from this
+    # pair, the reference's relo_relative_t/q/yaw (estimator.cpp:1034-1057)
+    relo_cur_P: jax.Array  # (3,)
+    relo_cur_Q: jax.Array  # (4,)
     # newest frame's depth-anchored landmarks, exported PRE-slide (the
     # reference's pubKeyframe point cloud, visualization.cpp:454-520); the
     # slide clears the newest slot's obs_mask so a post-slide export would
@@ -538,6 +544,7 @@ def _solve_and_slide(
                 else jnp.asarray([1.0, 0, 0, 0], dtype)),
         relo_used=(relo.active if (cfg.fast_relo and relo is not None)
                    else jnp.asarray(False)),
+        relo_cur_P=x_new.P[WINDOW_SIZE - 1], relo_cur_Q=x_new.Q[WINDOW_SIZE - 1],
         wp_world=wp_world, wp_uv=wp_uv, wp_norm=wp_norm, wp_valid=wp_valid,
     )
     st = st._replace(last_P=x_new.P[WINDOW_SIZE], last_Q=x_new.Q[WINDOW_SIZE])
@@ -632,6 +639,198 @@ def init_dynamic(
     st2, out = _solve_and_slide(cfg, st1, jnp.asarray(True), jnp.asarray(50))
     # on failure: keep the ORIGINAL (un-rotated, un-marginalized) state,
     # merely slid — the reference's failed-init path (estimator.cpp:253-256)
+    st_fail = _slide(cfg, st, jnp.asarray(True))
+    st_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st2, st_fail)
+    return st_out, out, ok
+
+
+def _dlt_triangulate(pts, obs_mask, R_cw, t_cw, pose_known):
+    """Multiview DLT triangulation of every feature from the frames with
+    known camera poses (the capability of ``GlobalSFM::triangulatePoint``,
+    initial_sfm.cpp:16-36, batched).
+
+    pts (MAXF, F, 2) normalized obs; R_cw/t_cw (F,3,3)/(F,3) world->cam.
+    Returns (points_w (MAXF,3), n_obs (MAXF,), ok (MAXF,))."""
+    dtype = pts.dtype
+    # projection rows per (feature, frame): x·P[2] − P[0], y·P[2] − P[1]
+    Pmat = jnp.concatenate([R_cw, t_cw[:, :, None]], axis=-1)  # (F,3,4)
+    use = obs_mask & pose_known[None, :]  # (MAXF, F)
+    x = pts[..., 0]
+    y = pts[..., 1]
+    r0 = x[..., None] * Pmat[None, :, 2, :] - Pmat[None, :, 0, :]  # (MAXF,F,4)
+    r1 = y[..., None] * Pmat[None, :, 2, :] - Pmat[None, :, 1, :]
+    w = use.astype(dtype)[..., None]
+    A = jnp.concatenate([r0 * w, r1 * w], axis=1)  # (MAXF, 2F, 4)
+    M = jnp.einsum("nia,nib->nab", A, A)  # (MAXF,4,4)
+    # smallest eigvec by inverse iteration (batched 4x4)
+    n_obs = jnp.sum(use, axis=1)
+    tr = jnp.trace(M, axis1=1, axis2=2)
+    Mj = M + (1e-9 * tr[:, None, None] + 1e-12) * jnp.eye(4, dtype=dtype)[None]
+    B = jnp.linalg.inv(Mj)
+    v = jnp.ones((M.shape[0], 4), dtype) * 0.5
+    for _ in range(4):
+        v = jnp.einsum("nab,nb->na", B, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    pw = v[:, :3] / jnp.where(jnp.abs(v[:, 3:4]) > 1e-9, v[:, 3:4], 1e-9)
+    # cheirality: positive depth in the frames used
+    depths = jnp.einsum("fab,nb->nfa", R_cw, pw)[..., 2] + t_cw[None, :, 2]
+    pos = jnp.sum((depths > 0.05) & use, axis=1)
+    ok = (n_obs >= 2) & (pos >= jnp.maximum(n_obs - 1, 2))
+    return pw, n_obs, ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+@_f32_matmul
+def init_mono(
+    cfg: EstimatorConfig, st: EstimatorState, key: jax.Array
+) -> Tuple[EstimatorState, StepOutput, jax.Array]:
+    """Monocular (depth-less) SFM initialization — the capability of the
+    reference's ``GlobalSFM::construct`` + scale-solving ``LinearAlignment``
+    (initial_sfm.cpp:184-414, initial_aligment.cpp:94-168), used when the
+    window has no usable depth measurements:
+
+      1. IMU excitation check;
+      2. reference-frame search: the earliest frame l with ≥30px@460 mean
+         parallax against the newest frame (``relativePose``,
+         estimator.cpp:884-920), relative pose by essential-matrix RANSAC
+         with cheirality (``solveRelativeRT``);
+      3. two-view DLT triangulation seeded from (l, newest), then rounds of
+         {batched PnP of every frame against the current structure →
+         multiview re-triangulation} (the PnP chain of ``construct``);
+      4. windowed visual BA re-using the LM solver in VO mode;
+      5. gyro-bias LS, then velocity/gravity/SCALE linear alignment
+         (monocular: scale is a state), rescale + gravity-align the window;
+      6. the standard solve/marginalize/slide tail.
+
+    Returns (state, output, ok); on ok=False the host slides and retries.
+    """
+    dtype = st.x.P.dtype
+    t = st.table
+    x = st.x
+    jW = FRAMES - 1
+    pre0 = _make_preints(cfg, st)
+    excited = init_ops.imu_excitation_ok(
+        pre0.pre.delta_v, pre0.pre.sum_dt, pre0.valid
+    )
+
+    # --- 2. reference-frame search + essential RANSAC ---------------------
+    common = t.obs_mask & t.obs_mask[:, jW][:, None] & ftab.active_rows(t)[:, None]
+    par = jnp.linalg.norm(t.pts - t.pts[:, jW][:, None, :], axis=-1)  # (MAXF,F)
+    n_common = jnp.sum(common, axis=0)  # (F,)
+    mean_par = jnp.sum(jnp.where(common, par, 0.0), axis=0) / jnp.maximum(n_common, 1)
+    cand = (n_common >= 20) & (mean_par * 460.0 > 30.0)
+    cand = cand.at[jW].set(False)
+    l = jnp.argmax(cand)  # earliest True (argmax of bool picks first)
+    have_l = jnp.any(cand)
+
+    pts_l = jnp.take_along_axis(t.pts, l[None, None, None].repeat(cfg.maxf, 0), axis=1)[:, 0]
+    pts_W = t.pts[:, jW]
+    pair_ok = jnp.take_along_axis(common, l[None, None].repeat(cfg.maxf, 0), axis=1)[:, 0]
+    fm = ransac_ops.fundamental_ransac(
+        key, pts_l, pts_W, pair_ok, threshold=0.3 / 460.0, n_trials=64,
+        min_valid=15,
+    )
+    R_rel, t_rel, cheir = init_ops.decompose_essential(
+        fm.model, pts_l, pts_W, fm.inliers)
+    rel_ok = fm.ok & (fm.n_inliers > 12) & (cheir > 8)
+
+    # --- 3. structure bootstrap: world = camera frame of l ----------------
+    eyeF = jnp.tile(jnp.eye(3, dtype=dtype)[None], (FRAMES, 1, 1))
+    R_cw = eyeF
+    t_cw = jnp.zeros((FRAMES, 3), dtype)
+    R_cw = R_cw.at[jW].set(R_rel)
+    t_cw = t_cw.at[jW].set(t_rel)
+    pose_known = (jnp.arange(FRAMES) == l) | (jnp.arange(FRAMES) == jW)
+
+    chain_ok = rel_ok
+    for rnd in range(3):
+        pw, n_obs, tri_ok = _dlt_triangulate(
+            t.pts, t.obs_mask & ftab.active_rows(t)[:, None], R_cw, t_cw,
+            pose_known)
+
+        def pnp_frame(j, Rj, tj, kj):
+            ok_j = t.obs_mask[:, j] & tri_ok & ftab.active_rows(t)
+            res = ransac_ops.pnp_ransac_guess(
+                kj, pw, t.pts[:, j], ok_j, Rj, tj,
+                threshold=10.0 / 460.0, n_trials=8, refine_iters=8,
+                min_inliers=10,
+            )
+            return res.model[:, :3], res.model[:, 3], res.ok
+
+        keys_f = jax.random.split(jax.random.fold_in(key, rnd), FRAMES)
+        Rn, tn, okn = jax.vmap(pnp_frame)(
+            jnp.arange(FRAMES), R_cw, t_cw, keys_f)
+        keep = pose_known  # l and W anchor the gauge; others update on ok
+        upd = okn & ~keep
+        R_cw = jnp.where(upd[:, None, None], Rn, R_cw)
+        t_cw = jnp.where(upd[:, None], tn, t_cw)
+        pose_known = pose_known | okn
+    chain_ok = chain_ok & jnp.all(pose_known)
+
+    # camera chain -> imu rotations (positions stay camera, for alignment)
+    R_wc = jnp.swapaxes(R_cw, 1, 2)
+    t_wc = -jnp.einsum("fab,fb->fa", R_wc, t_cw)
+    R_ic = quat.q2R(x.qic)
+    R_wi = jnp.einsum("fab,cb->fac", R_wc, R_ic)
+    Q_wi = quat.R2q(R_wi)
+
+    # --- 4. visual-only BA over the bootstrapped window -------------------
+    pw, _, tri_ok = _dlt_triangulate(
+        t.pts, t.obs_mask & ftab.active_rows(t)[:, None], R_cw, t_cw,
+        pose_known)
+    s_all = t.start
+    d_start = (jnp.einsum("nab,nb->na",
+                          R_cw[s_all], pw) + t_cw[s_all])[:, 2]
+    inv_d = 1.0 / jnp.maximum(d_start, 0.1)
+    ba_cfg = dataclasses.replace(
+        cfg, use_imu=False, fix_depth=False)
+    x_ba = x._replace(P=t_wc - jnp.einsum("fab,b->fa", R_wi, x.tic),
+                      Q=Q_wi)
+    vis = slv.VisualData(
+        start=t.start, pts=t.pts, vel=t.vel, td_obs=t.td_obs,
+        row_scaled=t.uv[..., 1] * cfg.tr_over_row,
+        obs_mask=t.obs_mask,
+        inv_depth=inv_d,
+        depth_free=tri_ok & ftab.active_rows(t),
+        valid=tri_ok & ftab.active_rows(t),
+    )
+    res_ba = slv.solve(ba_cfg.solver, x_ba, vis, None, slv.empty_prior(dtype),
+                       cfg.gravity(dtype))
+    x_ba = res_ba.x
+    # back to camera positions for the alignment
+    t_wc_ba = x_ba.P + jnp.einsum("fab,b->fa", quat.q2R(x_ba.Q), x.tic)
+    Q_ba = x_ba.Q
+
+    # --- 5. gyro bias + scale/velocity/gravity alignment ------------------
+    dbg = init_ops.solve_gyroscope_bias(
+        pre0.pre.delta_q,
+        pre0.pre.jacobian[:, imupre.O_R:imupre.O_R + 3, imupre.O_BG:imupre.O_BG + 3],
+        Q_ba, pre0.valid,
+    )
+    st1 = st._replace(x=x._replace(Bg=x.Bg + dbg[None, :]))
+    pre1 = _make_preints(cfg, st1)
+    V_body, g_c0, s_scale, align_ok = init_ops.linear_alignment(
+        pre1.pre.delta_p, pre1.pre.delta_v, pre1.pre.sum_dt,
+        t_wc_ba, Q_ba, st1.x.tic, pre1.valid, cfg.g_norm,
+    )
+
+    # rescale to meters + convert camera->imu positions (visualInitialAlign)
+    P_imu = s_scale * t_wc_ba - jnp.einsum(
+        "fab,b->fa", quat.q2R(Q_ba), st1.x.tic)
+    P_imu = P_imu - P_imu[0][None]
+    R0 = quat.g2R(g_c0)
+    P_new = jnp.einsum("ab,fb->fa", R0, P_imu)
+    R_new = jnp.einsum("ab,fbc->fac", R0, quat.q2R(Q_ba))
+    V_new = jnp.einsum("ab,fbc,fc->fa", R0, quat.q2R(Q_ba), V_body)
+    x_new = st1.x._replace(P=P_new, Q=quat.R2q(R_new), V=V_new)
+    # seed the table with the scaled structure so the tail's SVD fallback
+    # starts from a consistent estimate
+    table1 = st1.table._replace(
+        est_depth=jnp.where(tri_ok, s_scale * d_start, st1.table.est_depth))
+    st1 = st1._replace(x=x_new, table=table1)
+
+    ok = excited & have_l & chain_ok & align_ok & jnp.isfinite(s_scale)
+    st2, out = _solve_and_slide(cfg, st1, jnp.asarray(True), jnp.asarray(50))
     st_fail = _slide(cfg, st, jnp.asarray(True))
     st_out = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st2, st_fail)
     return st_out, out, ok
@@ -860,10 +1059,18 @@ class VinsEstimator:
             self.headers[self.frame_count] = t
             if self.frame_count == WINDOW_SIZE:
                 if cfg.use_imu and not cfg.static_init:
-                    # dynamic initialization; retry on failure after sliding
+                    # dynamic initialization; on failure fall back to the
+                    # monocular (depth-less) SFM path, then retry-after-slide
+                    st_before = self.state
                     self.state, step_out, ok = init_dynamic(
                         cfg, self.state, self._keys[self._step % 4096]
                     )
+                    if not bool(jax.device_get(ok)):
+                        st_mono, out_mono, ok_mono = init_mono(
+                            cfg, st_before, self._keys[(self._step + 1) % 4096]
+                        )
+                        if bool(jax.device_get(ok_mono)):
+                            self.state, step_out, ok = st_mono, out_mono, ok_mono
                     if bool(jax.device_get(ok)):
                         self.solver_flag = self.NON_LINEAR
                         out = self._emit(step_out, t)
@@ -1056,6 +1263,8 @@ class VinsEstimator:
             relo_P=np.asarray(host.relo_P),
             relo_Q=np.asarray(host.relo_Q),
             relo_used=bool(host.relo_used),
+            relo_cur_P=np.asarray(host.relo_cur_P),
+            relo_cur_Q=np.asarray(host.relo_cur_Q),
             wp_world=np.asarray(host.wp_world),
             wp_uv=np.asarray(host.wp_uv),
             wp_norm=np.asarray(host.wp_norm),

@@ -238,6 +238,146 @@ def linear_alignment_with_depth(
     return V, g, ok
 
 
+def linear_alignment(
+    dp: jax.Array,  # (W,3) preintegrated Δp
+    dv: jax.Array,  # (W,3) preintegrated Δv
+    sum_dt: jax.Array,  # (W,)
+    P: jax.Array,  # (FRAMES,3) SFM camera positions (arbitrary scale!)
+    Q: jax.Array,  # (FRAMES,4) frame rotations (world-from-imu)
+    tic: jax.Array,  # (3,)
+    valid: jax.Array,  # (W,)
+    g_norm: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Monocular visual-inertial alignment WITH metric scale — the
+    reference's legacy scale-solving ``LinearAlignment`` + ``RefineGravity``
+    (``initial_aligment.cpp:94-168, 246-324``): solves per-frame body
+    velocities, gravity in the SFM frame, and the scale s mapping SFM
+    positions to meters.
+
+    Returns (velocities (FRAMES,3) body-frame, gravity (3,), scale (),
+    ok flag).  ok requires ‖g‖ close to g_norm and s > 0."""
+    dtype = dp.dtype
+    n_state = FRAMES * 3 + 3 + 1
+    R = quat.q2R(Q)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def build(carry, i):
+        A, b = carry
+        dt = sum_dt[i]
+        RiT = R[i].T
+        # rows: [Δp (3); Δv (3)]; cols: [v_i | v_j | g | s]
+        tA = jnp.zeros((6, 10), dtype)
+        tA = tA.at[0:3, 0:3].set(-dt * I3)
+        tA = tA.at[0:3, 6:9].set(RiT * (dt * dt / 2.0))
+        tA = tA.at[0:3, 9].set(RiT @ (P[i + 1] - P[i]) / 100.0)
+        tb0 = dp[i] + RiT @ R[i + 1] @ tic - tic
+        tA = tA.at[3:6, 0:3].set(-I3)
+        tA = tA.at[3:6, 3:6].set(RiT @ R[i + 1])
+        tA = tA.at[3:6, 6:9].set(RiT * dt)
+        tb = jnp.concatenate([tb0, dv[i]])
+        w = valid[i].astype(dtype)
+        rA = (tA.T @ tA) * w
+        rb = (tA.T @ tb) * w
+        s = 3 * i
+        # velocity block (6x6 at s), tail block (g+s, 4x4), couplings
+        A = jax.lax.dynamic_update_slice(
+            A, jax.lax.dynamic_slice(A, (s, s), (6, 6)) + rA[:6, :6], (s, s))
+        b = jax.lax.dynamic_update_slice(
+            b, jax.lax.dynamic_slice(b, (s,), (6,)) + rb[:6], (s,))
+        A = A.at[n_state - 4:, n_state - 4:].add(rA[6:, 6:])
+        b = b.at[n_state - 4:].add(rb[6:])
+        c4 = jnp.asarray(n_state - 4, jnp.int32)
+        A = jax.lax.dynamic_update_slice(
+            A, jax.lax.dynamic_slice(A, (s, c4), (6, 4)) + rA[:6, 6:], (s, c4))
+        A = jax.lax.dynamic_update_slice(
+            A, jax.lax.dynamic_slice(A, (c4, s), (4, 6)) + rA[6:, :6], (c4, s))
+        return (A, b), None
+
+    A0 = jnp.zeros((n_state, n_state), dtype)
+    b0 = jnp.zeros((n_state,), dtype)
+    (A, b), _ = jax.lax.scan(build, (A0, b0), jnp.arange(WINDOW_SIZE, dtype=jnp.int32))
+    A = A * 1000.0 + 1e-8 * jnp.eye(n_state, dtype=dtype)
+    b = b * 1000.0
+    x = jnp.linalg.solve(A, b)
+    s = x[n_state - 1] / 100.0
+    g = x[n_state - 4:n_state - 1]
+    ok = (jnp.abs(jnp.linalg.norm(g) - g_norm) < 1.0) & (s > 0)
+    g, x = _refine_gravity_scale(dp, dv, sum_dt, P, Q, tic, valid, g, g_norm)
+    s = x[-1] / 100.0
+    ok = ok & (s > 0)
+    V = x[: FRAMES * 3].reshape(FRAMES, 3)
+    return V, g, s, ok
+
+
+def _refine_gravity_scale(dp, dv, sum_dt, P, Q, tic, valid, g0, g_norm,
+                          iters: int = 4):
+    """Gravity tangent refinement keeping the scale variable
+    (``RefineGravity``, initial_aligment.cpp:246-324)."""
+    dtype = dp.dtype
+    n_state = FRAMES * 3 + 2 + 1
+    R = quat.q2R(Q)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def tangent_basis(g):
+        a = g / jnp.linalg.norm(g)
+        tmp = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        tmp = jnp.where(jnp.abs(a[2]) > 0.99, jnp.asarray([1.0, 0.0, 0.0], dtype), tmp)
+        b1 = tmp - a * jnp.dot(a, tmp)
+        b1 = b1 / jnp.linalg.norm(b1)
+        b2 = jnp.cross(a, b1)
+        return jnp.stack([b1, b2], axis=1)  # (3,2)
+
+    def one_iter(g, _):
+        g0u = g / jnp.linalg.norm(g) * g_norm
+        lxly = tangent_basis(g0u)
+
+        def body(carry, i):
+            A, b = carry
+            dt = sum_dt[i]
+            RiT = R[i].T
+            tA = jnp.zeros((6, 9), dtype)
+            tA = tA.at[0:3, 0:3].set(-dt * I3)
+            tA = tA.at[0:3, 6:8].set(RiT @ lxly * (dt * dt / 2.0))
+            tA = tA.at[0:3, 8].set(RiT @ (P[i + 1] - P[i]) / 100.0)
+            tb0 = (dp[i] + RiT @ R[i + 1] @ tic - tic
+                   - RiT @ g0u * (dt * dt / 2.0))
+            tA = tA.at[3:6, 0:3].set(-I3)
+            tA = tA.at[3:6, 3:6].set(RiT @ R[i + 1])
+            tA = tA.at[3:6, 6:8].set(RiT @ lxly * dt)
+            tb1 = dv[i] - RiT @ g0u * dt
+            tb = jnp.concatenate([tb0, tb1])
+            w = valid[i].astype(dtype)
+            rA = (tA.T @ tA) * w
+            rb = (tA.T @ tb) * w
+            s = 3 * i
+            A = jax.lax.dynamic_update_slice(
+                A, jax.lax.dynamic_slice(A, (s, s), (6, 6)) + rA[:6, :6], (s, s))
+            b = jax.lax.dynamic_update_slice(
+                b, jax.lax.dynamic_slice(b, (s,), (6,)) + rb[:6], (s,))
+            A = A.at[n_state - 3:, n_state - 3:].add(rA[6:, 6:])
+            b = b.at[n_state - 3:].add(rb[6:])
+            c3 = jnp.asarray(n_state - 3, jnp.int32)
+            A = jax.lax.dynamic_update_slice(
+                A, jax.lax.dynamic_slice(A, (s, c3), (6, 3)) + rA[:6, 6:], (s, c3))
+            A = jax.lax.dynamic_update_slice(
+                A, jax.lax.dynamic_slice(A, (c3, s), (3, 6)) + rA[6:, :6], (c3, s))
+            return (A, b), None
+
+        A0 = jnp.zeros((n_state, n_state), dtype)
+        b0 = jnp.zeros((n_state,), dtype)
+        (A, b), _ = jax.lax.scan(body, (A0, b0), jnp.arange(WINDOW_SIZE, dtype=jnp.int32))
+        A = A * 1000.0 + 1e-8 * jnp.eye(n_state, dtype=dtype)
+        b = b * 1000.0
+        x = jnp.linalg.solve(A, b)
+        dg = x[n_state - 3:n_state - 1]
+        g_new = g0u + lxly @ dg
+        return g_new, x
+
+    g, xs = jax.lax.scan(one_iter, g0, None, length=iters)
+    x_last = jax.tree.map(lambda a: a[-1], xs)
+    return g, x_last
+
+
 def refine_gravity_with_depth(
     dp, dv, sum_dt, P, Q, tic, valid, g0, g_norm,
     iters: int = 4,

@@ -359,7 +359,10 @@ class PoseGraph:
         self.ric = np.asarray(ric)
         self.tic = np.asarray(tic)
         self.keyframes: list = []  # KeyFrameData
-        self.desc_db: Optional[np.ndarray] = None  # (K, max_kp, 256) int8
+        # retrieval DB: preallocated doubling buffer (per-keyframe
+        # np.concatenate would move O(K²) bytes over a run)
+        self._db_buf: Optional[np.ndarray] = None  # (cap, max_kp, 256) int8
+        self._db_size = 0
         self.loops: list = []  # dict(cur, old, rel_t, rel_yaw)
         self.earliest_loop_index: Optional[int] = None
         self.sequence = 1
@@ -367,6 +370,30 @@ class PoseGraph:
         self.yaw_drift = 0.0
         self.t_drift = np.zeros(3)
         self.corrected: dict = {}  # index -> (P, Q) optimized poses
+        # cross-sequence world alignment (pose_graph.cpp:49-144): incoming
+        # vio poses are mapped by (w_r_vio, w_t_vio) into the map frame; set
+        # on the first cross-sequence loop of each sequence
+        self.w_r_vio = np.eye(3)
+        self.w_t_vio = np.zeros(3)
+        self.sequence_aligned = {0: True, 1: True}  # seq -> merged into map
+
+    # ------------------------------------------------------------------
+    @property
+    def desc_db(self) -> Optional[np.ndarray]:
+        """View of the filled part of the retrieval DB (K, max_kp, 256)."""
+        if self._db_buf is None or self._db_size == 0:
+            return None
+        return self._db_buf[: self._db_size]
+
+    def _db_append(self, desc: np.ndarray):
+        if self._db_buf is None or self._db_size == self._db_buf.shape[0]:
+            cap = 64 if self._db_buf is None else self._db_buf.shape[0] * 2
+            buf = np.zeros((cap,) + desc.shape, desc.dtype)
+            if self._db_buf is not None:
+                buf[: self._db_size] = self._db_buf[: self._db_size]
+            self._db_buf = buf
+        self._db_buf[self._db_size] = desc
+        self._db_size += 1
 
     # ------------------------------------------------------------------
     def _r_drift(self) -> np.ndarray:
@@ -381,9 +408,17 @@ class PoseGraph:
         return P2, Q2
 
     def new_sequence(self):
-        """Stream discontinuity: start a new sequence (max 5 in the
-        reference, pose_graph_nodelet.cpp:231-252)."""
+        """Stream discontinuity: start a new sequence — resets the vio→map
+        alignment and the drift like the reference (pose_graph.cpp:55-65,
+        nodelet ``new_sequence`` caps at 5 sequences)."""
+        if self.sequence >= 5:  # reference warns and keeps the last sequence
+            return
         self.sequence += 1
+        self.sequence_aligned[self.sequence] = False
+        self.w_r_vio = np.eye(3)
+        self.w_t_vio = np.zeros(3)
+        self.yaw_drift = 0.0
+        self.t_drift = np.zeros(3)
 
     # ------------------------------------------------------------------
     def add_keyframe(self, img, t: float, P_vio, Q_vio,
@@ -394,6 +429,12 @@ class PoseGraph:
         Returns loop info dict if a loop was accepted."""
         cfg = self.cfg
         idx = len(self.keyframes)
+        # map the incoming vio pose (and its landmarks) into the map frame
+        # via the sequence alignment (pose_graph.cpp:67-70)
+        P_vio = self.w_r_vio @ np.asarray(P_vio) + self.w_t_vio
+        Q_vio = np.asarray(quat.qmul(quat.R2q(jnp.asarray(self.w_r_vio)),
+                                     jnp.asarray(Q_vio)))
+        wp_world = np.asarray(wp_world) @ self.w_r_vio.T + self.w_t_vio
         kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = extract_keyframe_features(
             cfg, self.cam, jnp.asarray(img), wp_world, wp_uv, wp_valid
         )
@@ -407,25 +448,99 @@ class PoseGraph:
         )
 
         loop_info = None
-        if detect_loop and idx > self.cfg.recency_exclusion:
+        if detect_loop and len(self.keyframes) > 0:
             cand = self._detect_loop(kf)
             if cand is not None:
                 loop_info = self._find_connection(kf, self.keyframes[cand])
                 if loop_info is not None:
-                    self.loops.append(loop_info)
                     if self.earliest_loop_index is None or cand < self.earliest_loop_index:
                         self.earliest_loop_index = cand
+                    old_kf = self.keyframes[cand]
+                    if (old_kf.sequence != kf.sequence
+                            and not self.sequence_aligned.get(kf.sequence, False)):
+                        kf = self._align_sequence(kf, old_kf, loop_info)
+                    self.loops.append(loop_info)
         self.keyframes.append(kf)
-        if self.desc_db is None:
-            self.desc_db = kf.kp_desc[None]
-        else:
-            self.desc_db = np.concatenate([self.desc_db, kf.kp_desc[None]], axis=0)
+        self._db_append(kf.kp_desc)
         if loop_info is not None:
             self.optimize()
         else:
             # keep the corrected trajectory extended with current drift
             self.corrected[idx] = self.apply_drift(kf.P_vio, kf.Q_vio)
         return loop_info
+
+    # ------------------------------------------------------------------
+    def _align_sequence(self, kf: KeyFrameData, old_kf: KeyFrameData,
+                        loop_info: dict) -> KeyFrameData:
+        """First cross-sequence loop: align the current sequence's world
+        frame onto the map (``pose_graph.cpp:120-139``) — compute the shift
+        from the loop-implied pose vs the vio pose, fold it into
+        (w_r_vio, w_t_vio), and re-map every stored keyframe of this
+        sequence.  Returns the re-mapped current keyframe."""
+        R_old = np.asarray(quat.q2R(jnp.asarray(old_kf.Q_vio)))
+        w_P_cur = R_old @ loop_info["rel_t"] + old_kf.P_vio
+        R_rel = np.asarray(quat.q2R(jnp.asarray(loop_info["rel_q"])))
+        w_R_cur = R_old @ R_rel
+        R_vio = np.asarray(quat.q2R(jnp.asarray(kf.Q_vio)))
+        if self.cfg.use_6dof:
+            shift_r = w_R_cur @ R_vio.T
+        else:  # IMU: yaw-only observable shift
+            yw = float(np.asarray(quat.R2ypr(jnp.asarray(w_R_cur)))[0]
+                       - np.asarray(quat.R2ypr(jnp.asarray(R_vio)))[0])
+            shift_r = np.asarray(quat.yaw_R(jnp.asarray(yw)))
+        shift_t = w_P_cur - w_R_cur @ R_vio.T @ kf.P_vio
+
+        self.w_r_vio = shift_r @ self.w_r_vio
+        self.w_t_vio = shift_r @ self.w_t_vio + shift_t
+        self.sequence_aligned[kf.sequence] = True
+
+        def remap(k: KeyFrameData) -> KeyFrameData:
+            P2 = shift_r @ k.P_vio + shift_t
+            Q2 = np.asarray(quat.qmul(quat.R2q(jnp.asarray(shift_r)),
+                                      jnp.asarray(k.Q_vio)))
+            wp2 = k.wp_world @ shift_r.T + shift_t
+            return k._replace(P_vio=P2, Q_vio=Q2, wp_world=wp2)
+
+        self.keyframes = [remap(k) if k.sequence == kf.sequence else k
+                          for k in self.keyframes]
+        for k in self.keyframes:
+            if k.sequence == kf.sequence and k.index in self.corrected:
+                del self.corrected[k.index]
+        return remap(kf)
+
+    # ------------------------------------------------------------------
+    def update_keyframe_loop(self, index: int, rel_t, rel_q, rel_yaw: float,
+                             fast_relocalization: bool = True):
+        """Consume the estimator's optimized loop-relative pose (the fast-
+        relocalization round trip, ``pose_graph.cpp:1063-1096``): refine the
+        stored loop edge and immediately update the drift from the old
+        keyframe's corrected pose — without waiting for the next PGO."""
+        lp = next((l for l in reversed(self.loops) if l["cur"] == index), None)
+        if lp is None or index >= len(self.keyframes):
+            return
+        rel_t = np.asarray(rel_t)
+        rel_q = np.asarray(rel_q)
+        lp["rel_t"] = rel_t
+        lp["rel_q"] = rel_q
+        lp["rel_yaw"] = float(rel_yaw)
+        if not (abs(rel_yaw) < LOOP_YAW_MAX and np.linalg.norm(rel_t) < LOOP_T_MAX):
+            return
+        if not fast_relocalization:
+            return
+        kf = self.keyframes[index]
+        old_kf = self.keyframes[lp["old"]]
+        w_P_old, w_Q_old = self.corrected.get(
+            old_kf.index, (old_kf.P_vio, old_kf.Q_vio))
+        w_R_old = np.asarray(quat.q2R(jnp.asarray(w_Q_old)))
+        w_P_cur = w_R_old @ rel_t + w_P_old
+        w_R_cur = w_R_old @ np.asarray(quat.q2R(jnp.asarray(rel_q)))
+        R_vio = np.asarray(quat.q2R(jnp.asarray(kf.Q_vio)))
+        shift_yaw = float(np.asarray(quat.R2ypr(jnp.asarray(w_R_cur)))[0]
+                          - np.asarray(quat.R2ypr(jnp.asarray(R_vio)))[0])
+        self.yaw_drift = float(np.asarray(quat.normalize_angle_deg(
+            jnp.asarray(shift_yaw))))
+        # reference: shift_t = w_P_cur − w_R_cur · vio_R_curᵀ · vio_P_cur
+        self.t_drift = w_P_cur - w_R_cur @ R_vio.T @ kf.P_vio
 
     # ------------------------------------------------------------------
     def _detect_loop(self, kf: KeyFrameData) -> Optional[int]:
@@ -710,9 +825,6 @@ class PoseGraph:
                 wp_desc=np.zeros((self.cfg.max_wp, 256), np.int8),
             )
             self.keyframes.append(kf)
-            if self.desc_db is None:
-                self.desc_db = kf.kp_desc[None]
-            else:
-                self.desc_db = np.concatenate([self.desc_db, kf.kp_desc[None]], 0)
+            self._db_append(kf.kp_desc.astype(np.int8))
         self.yaw_drift = float(data["yaw_drift"])
         self.t_drift = np.asarray(data["t_drift"])

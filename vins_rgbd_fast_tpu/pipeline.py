@@ -18,6 +18,7 @@ from .backend import estimator as est
 from .config import VinsConfig
 from .frontend import feature_tracker as ft
 from .io import stream as io_stream
+from .utils import quaternion as quat
 from .utils.timing import StageTimer
 
 
@@ -73,6 +74,7 @@ class VinsPipeline:
             )
             self._kf_travel_anchor: Optional[np.ndarray] = None
             self._kf_skip_count = 0
+            self._relo_sent_kf: Optional[int] = None  # kf index awaiting relo
 
     # ------------------------------------------------------------------
     def push_imu(self, t: float, acc, gyr):
@@ -123,6 +125,10 @@ class VinsPipeline:
             self.tracker_state = ft.init_state(self.tcfg, self.dtype)
             self.estimator.reset()
             self.estimator.prev_time = None
+            if self.pose_graph is not None:
+                # stream discontinuity starts a new pose-graph sequence
+                # (pose_graph_nodelet.cpp:263-271)
+                self.pose_graph.new_sequence()
 
         t = frame.t
         if self.vcfg.imu:
@@ -162,8 +168,33 @@ class VinsPipeline:
             out = self.estimator.process_features(feats, t)
 
         if self.pose_graph is not None and out is not None and isinstance(out, dict):
+            self._consume_relo_result(out)
             self._maybe_add_keyframe(out, frame, t)
         return out
+
+    # ------------------------------------------------------------------
+    def _consume_relo_result(self, out: dict):
+        """Second half of the fast-relocalization round trip: the solver
+        optimized the relo pose block alongside the window — derive the
+        refined loop-relative pose (the reference's relo_relative_t/q/yaw,
+        estimator.cpp:1034-1057) and feed it back into the pose graph's
+        drift (``PoseGraph::updateKeyFrameLoop``)."""
+        if not out.get("relo_used") or self._relo_sent_kf is None:
+            return
+        kf_index = self._relo_sent_kf
+        self._relo_sent_kf = None
+        P_relo = np.asarray(out["relo_P"], np.float64)
+        Q_relo = jnp.asarray(out["relo_Q"])
+        P_cur = np.asarray(out["relo_cur_P"], np.float64)
+        Q_cur = jnp.asarray(out["relo_cur_Q"])
+        R_relo = np.asarray(quat.q2R(Q_relo))
+        rel_t = R_relo.T @ (P_cur - P_relo)
+        rel_q = np.asarray(quat.qmul(quat.qconj(Q_relo), Q_cur))
+        yaw_cur = float(np.asarray(quat.R2ypr(quat.q2R(Q_cur)))[0])
+        yaw_relo = float(np.asarray(quat.R2ypr(jnp.asarray(R_relo)))[0])
+        rel_yaw = float(np.asarray(quat.normalize_angle_deg(
+            jnp.asarray(yaw_cur - yaw_relo))))
+        self.pose_graph.update_keyframe_loop(kf_index, rel_t, rel_q, rel_yaw)
 
     # ------------------------------------------------------------------
     def _maybe_add_keyframe(self, out: dict, frame, t: float):
@@ -203,6 +234,7 @@ class VinsPipeline:
                 info["matched_old_norm"], info["inlier_mask"],
                 old.P_vio, old.Q_vio,
             )
+            self._relo_sent_kf = info["cur"]
 
     def corrected_trajectory(self) -> list:
         """Loop-corrected keyframe path (the reference's
