@@ -49,15 +49,18 @@ trk, st = bp.stack_states(pipes)
 runner = bp.BatchedVioRunner(pipes[0].tcfg, pipes[0].cam,
                              pipes[0].estimator.cfg)
 
+MODES = os.environ.get("MODES", "scan,chained").split(",")
 for T in (2, 8):
     b1 = bp.stage_frames(pipes, frames, warmup, warmup + T)
     b2 = bp.stage_frames(pipes, frames, warmup + T, warmup + 2 * T)
     jax.block_until_ready((b1.imgs, b2.imgs))
-    t_, s_, o = runner.run(trk, st, b1)
-    jax.block_until_ready(s_.x.P)
-    t0 = time.perf_counter()
-    t_, s_, o = runner.run(trk, st, b2)
-    jax.block_until_ready(s_.x.P)
-    dt = time.perf_counter() - t0
-    print(f"scan T={T}: total {dt*1e3:.1f} ms, {dt/T*1e3:.2f} ms/step, "
-          f"{T*B/dt:.1f} fps aggregate")
+    for mode in MODES:
+        fn = runner.run if mode == "scan" else runner.run_chained
+        t_, s_, o = fn(trk, st, b1)
+        jax.block_until_ready(s_.x.P)
+        t0 = time.perf_counter()
+        t_, s_, o = fn(trk, st, b2)
+        jax.block_until_ready(s_.x.P)
+        dt = time.perf_counter() - t0
+        print(f"{mode} T={T}: total {dt*1e3:.1f} ms, {dt/T*1e3:.2f} ms/step, "
+              f"{T*B/dt:.1f} fps aggregate")

@@ -145,7 +145,31 @@ class BatchedVioRunner:
                 )
             return trk, st, outs
 
+        @partial(jax.jit, static_argnames=())
+        def one_step(carry, img, depth, t, idts, iacc, igyr):
+            with jax.default_matmul_precision("float32"):
+                return frame_step(carry, (img, depth, t, idts, iacc, igyr))
+
         self._run = run
+        self._one_step = one_step
+
+    def run_chained(self, trk_states, est_states, batch: FrameBatch):
+        """Same per-frame program as ``run`` but dispatched once per frame
+        from the host (no lax.scan) — no host syncs, outputs stacked on
+        device at the end."""
+        B = batch.ts.shape[1]
+        base_keys = jax.random.split(jax.random.PRNGKey(17), B)
+        carry = (trk_states, est_states, base_keys, jnp.asarray(0, jnp.int32))
+        outs = []
+        T = batch.ts.shape[0]
+        for k in range(T):
+            carry, out = self._one_step(
+                carry, batch.imgs[k], batch.depths[k], batch.ts[k],
+                batch.imu_dts[k], batch.imu_acc[k], batch.imu_gyr[k])
+            outs.append(out)
+        trk, st, _, _ = carry
+        stacked = jax.tree.map(lambda *a: jnp.stack(a), *outs)
+        return trk, st, stacked
 
     # -- staging helpers -------------------------------------------------
     def shard_spec(self, ndim_batch_axis: int = 0):
