@@ -75,3 +75,27 @@ def test_mei_roundtrip():
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         make_camera("SCARAMUZZA_TYPO")
+
+
+def test_scaramuzza_roundtrip():
+    """OCAM model: lift (forward poly) and project (inverse poly) must
+    round-trip when the polynomials are consistent.  The inverse poly is
+    fitted numerically from the forward one, as the reference's own
+    calibration does (ScaramuzzaCamera.cc:560-572)."""
+    # typical fisheye-ish forward poly: z = a0 + a2 phi^2 + a3 phi^3
+    a0, a2, a3 = -250.0, 1.2e-3, -2.0e-7
+    poly = (a0, 0.0, a2, a3, 0.0)
+    phis = np.linspace(1.0, 300.0, 200)
+    zs = -(a0 + a2 * phis ** 2 + a3 * phis ** 3)  # +P_z of the lifted ray
+    thetas = np.arctan2(-zs, phis)  # theta = atan2(-P_z, norm) < 0 here
+    coeff = np.polyfit(thetas, phis, 6)[::-1]  # rho(theta), ascending order
+    cam = make_camera(
+        "SCARAMUZZA", poly=poly, inv_poly=tuple(coeff.tolist()),
+        C=1.0, D=0.0, E=0.0, center_x=320.0, center_y=240.0,
+        width=640, height=480,
+    )
+    uv = jnp.asarray([[320.0, 240.0], [420.0, 300.0], [150.0, 100.0],
+                      [600.0, 440.0]], jnp.float64)
+    rays = cam.lift(uv)
+    back = cam.project(rays)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(uv), atol=0.3)

@@ -82,7 +82,26 @@ class MeiParams:
     height: int = 480
 
 
-CameraParams = Union[PinholeParams, EquidistantParams, MeiParams]
+@dataclasses.dataclass(frozen=True)
+class ScaramuzzaParams:
+    """Scaramuzza omnidirectional (OCAM) model, reference
+    ``ScaramuzzaCamera.cc:599-653``: forward polynomial z = Σ poly_i·φ^i of
+    the radial distance, inverse polynomial ρ = Σ inv_poly_i·θ^i of the
+    incidence angle, plus the affine stretch [[C, D], [E, 1]] and center."""
+
+    poly: tuple  # (5,) forward coefficients
+    inv_poly: tuple  # up to (12,) inverse coefficients
+    C: float = 1.0
+    D: float = 0.0
+    E: float = 0.0
+    center_x: float = 320.0
+    center_y: float = 240.0
+    width: int = 640
+    height: int = 480
+
+
+CameraParams = Union[PinholeParams, EquidistantParams, MeiParams,
+                     ScaramuzzaParams]
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +232,48 @@ def mei_lift(cam: MeiParams, uv: jax.Array, iters: int = 8) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Scaramuzza (OCAM omnidirectional)
+# ---------------------------------------------------------------------------
+
+
+def scaramuzza_lift(cam: ScaramuzzaParams, uv: jax.Array) -> jax.Array:
+    """``OCAMCamera::liftProjective`` (ScaramuzzaCamera.cc:599-622):
+    un-stretch by inv([[C,D],[E,1]]), evaluate the forward polynomial on the
+    radial distance, ray = (xc, yc, −z); normalized here to the z=1 plane."""
+    dtype = uv.dtype
+    xc0 = uv[..., 0] - cam.center_x
+    xc1 = uv[..., 1] - cam.center_y
+    inv_scale = 1.0 / (cam.C - cam.D * cam.E)
+    xa0 = inv_scale * (xc0 - cam.D * xc1)
+    xa1 = inv_scale * (-cam.E * xc0 + cam.C * xc1)
+    phi = jnp.sqrt(xa0 * xa0 + xa1 * xa1)
+    z = jnp.zeros_like(phi)
+    phi_i = jnp.ones_like(phi)
+    for c in cam.poly:
+        z = z + phi_i * c
+        phi_i = phi_i * phi
+    ray = jnp.stack([xc0, xc1, -z], axis=-1)
+    return ray / jnp.maximum(ray[..., 2:3], jnp.asarray(1e-6, dtype))
+
+
+def scaramuzza_project(cam: ScaramuzzaParams, P: jax.Array) -> jax.Array:
+    """``OCAMCamera::spaceToPlane`` (ScaramuzzaCamera.cc:632-653)."""
+    norm = jnp.sqrt(P[..., 0] ** 2 + P[..., 1] ** 2)
+    theta = jnp.arctan2(-P[..., 2], norm)
+    rho = jnp.zeros_like(theta)
+    theta_i = jnp.ones_like(theta)
+    for c in cam.inv_poly:
+        rho = rho + theta_i * c
+        theta_i = theta_i * theta
+    inv_norm = 1.0 / jnp.maximum(norm, 1e-12)
+    xn0 = P[..., 0] * inv_norm * rho
+    xn1 = P[..., 1] * inv_norm * rho
+    u = xn0 * cam.C + xn1 * cam.D + cam.center_x
+    v = xn0 * cam.E + xn1 + cam.center_y
+    return jnp.stack([u, v], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Unified front
 # ---------------------------------------------------------------------------
 
@@ -246,6 +307,8 @@ class CameraModel:
             return equidistant_lift(p, uv)
         if isinstance(p, MeiParams):
             return mei_lift(p, uv)
+        if isinstance(p, ScaramuzzaParams):
+            return scaramuzza_lift(p, uv)
         raise TypeError(f"unknown camera params {type(p)}")
 
     def project(self, P: jax.Array) -> jax.Array:
@@ -257,6 +320,8 @@ class CameraModel:
             return equidistant_project(p, P)
         if isinstance(p, MeiParams):
             return mei_project(p, P)
+        if isinstance(p, ScaramuzzaParams):
+            return scaramuzza_project(p, P)
         raise TypeError(f"unknown camera params {type(p)}")
 
 
@@ -268,4 +333,6 @@ def make_camera(model_type: str, **kwargs) -> CameraModel:
         return CameraModel(EquidistantParams(**kwargs))
     if mt == "MEI":
         return CameraModel(MeiParams(**kwargs))
+    if mt == "SCARAMUZZA":
+        return CameraModel(ScaramuzzaParams(**kwargs))
     raise ValueError(f"unsupported model_type {model_type!r}")
