@@ -179,8 +179,21 @@ def main_batched():
     _ = np.asarray(pipes[-1].estimator.state.x.P)  # readback handshake
 
     trk_states, est_states = bp.stack_states(pipes)
-    runner = bp.BatchedVioRunner(pipes[0].tcfg, pipes[0].cam,
-                                 pipes[0].estimator.cfg)
+
+    # tuning knobs for throughput/accuracy sweeps (0 = keep config value)
+    import dataclasses as dc
+    tcfg = pipes[0].tcfg
+    ecfg = pipes[0].estimator.cfg
+    si = int(os.environ.get("BENCH_SOLVER_ITERS", "0"))
+    if si:
+        ecfg = dc.replace(ecfg, max_iters=si)
+    lkf = int(os.environ.get("BENCH_LK_ITERS", "0"))
+    if lkf:
+        tcfg = dc.replace(tcfg, lk_max_iters=lkf)
+    lkc = int(os.environ.get("BENCH_LK_COARSE", "0"))
+    if lkc:
+        tcfg = dc.replace(tcfg, lk_coarse_iters=lkc)
+    runner = bp.BatchedVioRunner(tcfg, pipes[0].cam, ecfg)
 
     # two equal-length staged segments: the first compiles+warms the scan
     # program, the second (different data, same shapes) is the timed run

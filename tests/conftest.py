@@ -20,6 +20,17 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite is compile-bound (hundreds of large
+# fused programs); cached executables cut repeat full-suite runs from
+# ~20+ min to minutes.  In-memory caches are still cleared per module
+# (below) to bound host RAM.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches():

@@ -298,10 +298,18 @@ def triangulate_with_depth(
         row1 = fdir[:, 1:2] * Pmat[:, 2] - fdir[:, 2:3] * Pmat[:, 1]
         w = obs_mask.astype(dtype)[:, None]
         A = jnp.concatenate([row0 * w, row1 * w], axis=0)  # (2F,4)
-        # smallest right singular vector via eigh of AᵀA (4×4, cheap & stable)
+        # smallest right singular vector of A via inverse iteration on the
+        # jittered 4×4 normal matrix.  NOT jnp.linalg.eigh: TPU eigh lowers
+        # to an iterative QDWH with data-dependent while_loops — vmapped
+        # over the feature table it made vio_step ~30x slower on real data
+        # (while_loops run to the worst lane across the whole batch)
         AtA = A.T @ A
-        _, Vh = jnp.linalg.eigh(AtA)
-        v = Vh[:, 0]
+        Mj = AtA + (1e-9 * jnp.trace(AtA) + 1e-12) * jnp.eye(4, dtype=dtype)
+        Binv = jnp.linalg.inv(Mj)
+        v = jnp.full((4,), 0.5, dtype)
+        for _ in range(4):
+            v = Binv @ v
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
         svd_depth = v[2] / jnp.where(jnp.abs(v[3]) > 1e-12, v[3], 1e-12)
         svd_depth = jnp.where(svd_depth < depth_min_dist, depth_max_dist, svd_depth)
 

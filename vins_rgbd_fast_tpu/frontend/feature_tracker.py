@@ -70,6 +70,8 @@ class TrackerConfig:
     lk_max_iters: int = 20  # fine-level LK budget (reference caps at 30;
     # the vmapped while_loop runs to the worst lane, so the cap is the cost)
     lk_coarse_iters: int = 10  # coarse levels only need ~1-2 px accuracy
+    lk_sampler: str = "gather"  # "gather" = single-seq latency mode;
+    # "matmul" = sequence-batched mode (see ops.lk.pyramidal_lk)
 
     @property
     def maxc(self) -> int:
@@ -290,6 +292,7 @@ def track_frame(
         state.pyramid[:levels], pyr[:levels], state.pts, pred,
         active & state.has_prev,
         max_iters=cfg.lk_max_iters, coarse_iters=cfg.lk_coarse_iters,
+        sampler=cfg.lk_sampler,
     )
     in_b = _in_border(cfg, lk.pts)
     tracked = lk.status & in_b

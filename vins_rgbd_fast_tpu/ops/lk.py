@@ -53,7 +53,138 @@ def _subpix_patch(img_padded: jax.Array, p: jax.Array, size: int, pad: int):
     )
 
 
-def _track_level(
+def _track_level_matmul(
+    prev_img: jax.Array,
+    cur_img: jax.Array,
+    pts_l: jax.Array,  # (N,2) template positions at this level
+    flow: jax.Array,  # (N,2) current flow estimate at this level
+    active: jax.Array,  # (N,) bool
+    win: int,
+    max_iters: int,
+    eps: float,
+    min_eig: float,
+    check_border: bool,
+    search_margin: int = 10,
+):
+    """Matmul-sampled LK level: ONE window gather per point, then every
+    GN iteration samples the current patch by one-hot-selector einsums
+    (bilinear weights folded into the selectors) — pure MXU/VPU work.
+
+    In BATCHED (vmap-over-sequences) mode the per-iteration
+    ``dynamic_slice`` of the gather formulation lowers to a TPU gather
+    (~serial element rate); at 30 iterations × levels × points × 24²
+    elements the gathers dominated the whole batched tracker (78 ms →
+    ~16 ms for B=8 with this sampler).  In SINGLE-sequence mode the
+    einsums lose to the gather path (~2× frame latency) — choose per mode
+    via ``pyramidal_lk(sampler=...)``.  Flow beyond ±``search_margin`` px
+    of the warm start fails status — the same tracks the reference's LK
+    loses on unpredicted motion."""
+    dtype = prev_img.dtype
+    H, W = prev_img.shape
+    PS = win + 2  # extended template for central-difference gradients
+    WIN = win + 1 + 2 * search_margin  # sampled search-window side
+    pad = WIN
+    prev_p = jnp.pad(prev_img, pad, mode="edge")
+    cur_p = jnp.pad(cur_img, pad, mode="edge")
+    Hp, Wp = cur_p.shape
+
+    def prep_point(p, u0):
+        # template patch + gradients (one gather per point, like before)
+        pe = _subpix_patch(prev_p, p, PS, pad)
+        tmpl = pe[1:-1, 1:-1]
+        Ix = (pe[1:-1, 2:] - pe[1:-1, :-2]) * 0.5
+        Iy = (pe[2:, 1:-1] - pe[:-2, 1:-1]) * 0.5
+        Gxx = jnp.sum(Ix * Ix)
+        Gxy = jnp.sum(Ix * Iy)
+        Gyy = jnp.sum(Iy * Iy)
+        # search window around the warm start (one gather per point)
+        q = p + u0
+        ax = jnp.clip(jnp.floor(q[0]).astype(jnp.int32) + pad - win // 2
+                      - search_margin, 0, Wp - WIN)
+        ay = jnp.clip(jnp.floor(q[1]).astype(jnp.int32) + pad - win // 2
+                      - search_margin, 0, Hp - WIN)
+        win_img = jax.lax.dynamic_slice(cur_p, (ay, ax), (WIN, WIN))
+        return tmpl, Ix, Iy, Gxx, Gxy, Gyy, win_img, ax, ay
+
+    tmpl, Ix, Iy, Gxx, Gxy, Gyy, win_img, ax, ay = jax.vmap(prep_point)(
+        pts_l, flow)
+
+    det = Gxx * Gyy - Gxy * Gxy
+    tr = Gxx + Gyy
+    eig_min = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+    ok_eig = eig_min / (win * win) >= min_eig
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+
+    axf = ax.astype(dtype) - pad  # window origin in image coords
+    ayf = ay.astype(dtype) - pad
+    iota = jnp.arange(WIN, dtype=jnp.int32)
+    offs = jnp.arange(win, dtype=jnp.int32)
+
+    def sample(u):
+        """Bilinear win×win patches at pts+u via selector matmuls (N,...)"""
+        sx = pts_l[:, 0] + u[:, 0] - axf - (win // 2)  # window coords of
+        sy = pts_l[:, 1] + u[:, 1] - ayf - (win // 2)  # patch origin
+        bx = jnp.floor(sx)
+        by = jnp.floor(sy)
+        fx = (sx - bx)[:, None, None]
+        fy = (sy - by)[:, None, None]
+        idx = bx.astype(jnp.int32)[:, None, None] + offs[None, :, None]
+        idy = by.astype(jnp.int32)[:, None, None] + offs[None, :, None]
+        # C (N, WIN, win): column selector w/ bilinear x-weights
+        C = ((iota[None, :, None] == idx.transpose(0, 2, 1)) * (1.0 - fx)
+             + (iota[None, :, None] == idx.transpose(0, 2, 1) + 1) * fx
+             ).astype(dtype)
+        # R (N, win, WIN): row selector w/ bilinear y-weights
+        R = ((iota[None, None, :] == idy) * (1.0 - fy)
+             + (iota[None, None, :] == idy + 1) * fy).astype(dtype)
+        return jnp.einsum("nrw,nwv,nvc->nrc", R, win_img, C)
+
+    def cond(carry):
+        k, u, done = carry
+        return (k < max_iters) & ~jnp.all(done)
+
+    def body(carry):
+        k, u, done = carry
+        cur = sample(u)
+        dI = cur - tmpl
+        bx = jnp.einsum("nij,nij->n", dI, Ix)
+        by = jnp.einsum("nij,nij->n", dI, Iy)
+        du = jnp.stack([
+            inv_det * (Gyy * bx - Gxy * by),
+            inv_det * (-Gxy * bx + Gxx * by),
+        ], axis=-1)
+        u_new = jnp.where(done[:, None], u, u - du)
+        small = jnp.sum(du * du, axis=-1) < eps * eps
+        return (k + 1, u_new, done | small)
+
+    done0 = ~(active & ok_eig)
+    _, u, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), flow, done0))
+
+    fin = sample(u)
+    err = jnp.mean(jnp.abs(fin - tmpl), axis=(1, 2))
+    new_pos = pts_l + u
+    # flow must stay inside the sampled window (replaces divergence the
+    # gather formulation caught by clamping)
+    in_win = (
+        (new_pos[:, 0] - (win // 2) >= axf)
+        & (new_pos[:, 0] + (win // 2) + 1 < axf + WIN)
+        & (new_pos[:, 1] - (win // 2) >= ayf)
+        & (new_pos[:, 1] + (win // 2) + 1 < ayf + WIN)
+    )
+    if check_border:
+        hb = win // 2
+        inb = (
+            (new_pos[:, 0] >= hb) & (new_pos[:, 0] < W - hb)
+            & (new_pos[:, 1] >= hb) & (new_pos[:, 1] < H - hb)
+        )
+    else:
+        inb = jnp.ones_like(in_win)
+    status = active & ok_eig & in_win & inb
+    return u, status, err
+
+
+def _track_level_gather(
     prev_img: jax.Array,
     cur_img: jax.Array,
     pts_l: jax.Array,  # (N,2) template positions at this level
@@ -137,6 +268,7 @@ def pyramidal_lk(
     eps: float = 0.01,
     min_eig: float = 1e-4,
     coarse_iters: int = 0,  # 0 -> same as max_iters
+    sampler: str = "gather",
 ) -> LKResult:
     """Track pts from prev to cur across the pyramid (coarse→fine).
 
@@ -148,9 +280,17 @@ def pyramidal_lk(
     while_loop runs in lockstep to the WORST lane, and a coarse level only
     needs to land within ~1-2 px for the fine level to finish — a single
     oscillating track otherwise drags every level to ``max_iters``.
+
+    ``sampler`` picks the per-iteration patch-resampling strategy:
+    "gather" (per-iteration dynamic_slice — fastest single-sequence) or
+    "matmul" (one window gather + selector einsums — ~5× faster when the
+    whole tracker is vmapped over a sequence batch, where batched gathers
+    serialize).  See ``_track_level_matmul``.
     """
     levels = len(prev_pyr)
     dtype = prev_pyr[0].dtype
+    level_fn = (_track_level_matmul if sampler == "matmul"
+                else _track_level_gather)
     scale_top = jnp.asarray(2.0 ** (levels - 1), dtype)
     flow = (init_pts - pts) / scale_top
     status = active
@@ -160,7 +300,7 @@ def pyramidal_lk(
         pts_l = pts / s
         iters_l = max_iters if (l == 0 or coarse_iters <= 0) else min(
             coarse_iters, max_iters)
-        flow, status_l, err = _track_level(
+        flow, status_l, err = level_fn(
             prev_pyr[l], cur_pyr[l], pts_l, flow, active, win, iters_l, eps,
             min_eig, check_border=(l == 0),
         )

@@ -89,14 +89,26 @@ def _smallest_eigvec(M, iters: int = 3):
     return v
 
 
+def _rank2_project(F):
+    """Frobenius-nearest rank-2 matrix: F − σ₃·u₃v₃ᵀ with u₃/v₃ the null
+    directions of FFᵀ/FᵀF by static inverse iteration.
+
+    NOT jnp.linalg.svd: TPU svd lowers to iterative QDWH whose
+    while_loops are data-dependent (and run to the worst lane under vmap);
+    this closed form is a handful of 3×3 matmuls."""
+    u3 = _smallest_eigvec(F @ F.T, iters=4)
+    v3 = _smallest_eigvec(F.T @ F, iters=4)
+    s3 = u3 @ F @ v3
+    return F - s3 * jnp.outer(u3, v3)
+
+
 def _eight_point(p1, p2, rank2: bool = True, w=None):
     """F from ≥8 correspondences (normalized 8-point, optionally weighted
     least squares over all rows with w>0 — used for the consensus refit).
 
-    ``rank2=False`` skips the rank-2 projection: a TPU 3x3 SVD is a slow
-    Jacobi iteration, and for *inlier scoring* the rank-3 least-squares F
-    defines nearly identical epipolar distances — RANSAC trials score with
-    rank-3 and only the final model is projected."""
+    ``rank2=False`` skips the rank-2 projection: for *inlier scoring* the
+    rank-3 least-squares F defines nearly identical epipolar distances —
+    RANSAC trials score with rank-3 and only the final model is projected."""
     p1n, T1 = _normalize_pts(p1, w)
     p2n, T2 = _normalize_pts(p2, w)
     x1, y1 = p1n[:, 0], p1n[:, 1]
@@ -109,9 +121,7 @@ def _eight_point(p1, p2, rank2: bool = True, w=None):
         M = A.T @ A
     F = _smallest_eigvec(M).reshape(3, 3)
     if rank2:
-        U, S, Vt = jnp.linalg.svd(F)
-        S = S.at[2].set(0.0)
-        F = (U * S[None, :]) @ Vt
+        F = _rank2_project(F)
     return T2.T @ F @ T1
 
 

@@ -813,13 +813,14 @@ def solve(
     fmp = jnp.concatenate([fm[:NX], fm[RO:RO + 6]]) if cfg.with_relo else fm[:NX]
     fml = fm[NX:NX + cfg.maxf]
 
-    def step(carry, _):
-        x, lam_vec, rP, rQ, lm, cost = carry
-        vis_c = vis._replace(inv_depth=lam_vec)
-        relo_c = relo._replace(P=rP, Q=rQ) if cfg.with_relo else None
-        s, _ = normal_equations_structured(cfg, x, vis_c, imu, prior, gravity,
-                                           sqrt_infos, relo_c)
-        # dense Schur on the diagonal λ block (Ceres DENSE_SCHUR analog)
+    # Delayed-accept LM: ONE assembly per iteration.  The normal-equations
+    # pass already yields the exact cost at its evaluation point, so
+    # iteration k both (a) scores iteration k-1's candidate and (b)
+    # provides the system for the next step — no separate residual-only
+    # ``total_cost`` pass (which costs as much as the assembly itself in
+    # the vmapped batched mode).  On reject, the stored best system is
+    # re-solved with the increased damping (classic LM retry).
+    def damped_step(s: StructuredSystem, lm):
         Hpp = s.Hpp * fmp[None, :] * fmp[:, None]
         Hpl = s.Hpl * fmp[:, None] * fml[None, :]
         dl = s.dl * fml
@@ -830,45 +831,60 @@ def solve(
         A = Hpp + jnp.diag(damp_p)
         D = dl + damp_l
         Dinv = 1.0 / D
+        # dense Schur on the diagonal λ block (Ceres DENSE_SCHUR analog)
         S = A - (Hpl * Dinv[None, :]) @ Hpl.T
         gs = gp - Hpl @ (Dinv * gl)
         L = jnp.linalg.cholesky(S)
         dxp = -jax.scipy.linalg.cho_solve((L, True), gs)
         dxl = -Dinv * (gl + Hpl.T @ dxp)
-        dxp = dxp * fmp
-        dxl = dxl * fml
+        return dxp * fmp, dxl * fml
+
+    def advance(x, lam_vec, rP, rQ, dxp, dxl):
         x_new = boxplus(x, dxp[:NX])
         lam_new = lam_vec + dxl
         if cfg.with_relo:
             rP_new = rP + dxp[NX:NX + 3]
             rQ_new = quat.qboxplus(rQ, dxp[NX + 3:NX + 6])
-            relo_new = relo._replace(P=rP_new, Q=rQ_new)
         else:
-            rP_new, rQ_new, relo_new = rP, rQ, None
-        new_cost = total_cost(cfg, x_new, lam_new, vis, imu, prior, gravity,
-                              sqrt_infos, relo_new)
-        accept = (new_cost < cost) & jnp.isfinite(new_cost)
-        x = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_new)
-        lam_vec = jnp.where(accept, lam_new, lam_vec)
-        rP = jnp.where(accept, rP_new, rP)
-        rQ = jnp.where(accept, rQ_new, rQ)
+            rP_new, rQ_new = rP, rQ
+        return x_new, lam_new, rP_new, rQ_new
+
+    def step(carry, _):
+        best, cost_b, sys_b, lm, cand = carry
+        xc, lamc, rPc, rQc = cand
+        vis_c = vis._replace(inv_depth=lamc)
+        relo_c = relo._replace(P=rPc, Q=rQc) if cfg.with_relo else None
+        s_c, cost_c = normal_equations_structured(
+            cfg, xc, vis_c, imu, prior, gravity, sqrt_infos, relo_c)
+        accept = (cost_c < cost_b) & jnp.isfinite(cost_c)
+        sel = lambda a, b: jax.tree.map(
+            lambda u, v: jnp.where(accept, u, v), a, b)
+        cur = sel(cand, best)
+        cost_cur = jnp.where(accept, cost_c, cost_b)
+        sys_cur = sel(s_c, sys_b)
         lm = jnp.where(accept, lm * cfg.lm_down, lm * cfg.lm_up)
-        cost = jnp.where(accept, new_cost, cost)
-        return (x, lam_vec, rP, rQ, lm, cost), accept
+        dxp, dxl = damped_step(sys_cur, lm)
+        cand_new = advance(*cur, dxp, dxl)
+        return (cur, cost_cur, sys_cur, lm, cand_new), (accept, cost_c)
 
     rP0 = relo.P if cfg.with_relo else jnp.zeros(3, dtype)
     rQ0 = relo.Q if cfg.with_relo else quat.q_identity(dtype)
-    cost0 = total_cost(cfg, x0, vis.inv_depth, vis, imu, prior, gravity,
-                       sqrt_infos, relo)
-    init = (x0, vis.inv_depth, rP0, rQ0, jnp.asarray(cfg.lm_lambda0, dtype), cost0)
-    (x, lam_vec, rP, rQ, _, cost), accepts = jax.lax.scan(
-        step, init, None, length=cfg.max_iters)
+    cand0 = (x0, vis.inv_depth, rP0, rQ0)
+    init = (cand0, jnp.asarray(jnp.inf, dtype), _empty_system(cfg, dtype),
+            jnp.asarray(cfg.lm_lambda0, dtype), cand0)
+    # +1: iteration k scores candidate k-1, so the last produced candidate
+    # is never scored — run one extra iteration to match the old loop's
+    # max_iters *scored* steps
+    (best, cost, _, _, _), (accepts, costs) = jax.lax.scan(
+        step, init, None, length=cfg.max_iters + 1)
+    x, lam_vec, rP, rQ = best
+    cost0 = costs[0]
 
     if cfg.yaw_gauge and cfg.use_imu and not cfg.fix_pose0:
         x = yaw_gauge_fix(x, x0)
     return SolveResult(
         x=x, inv_depth=lam_vec, cost0=cost0, cost=cost,
-        iters_accepted=jnp.sum(accepts),
+        iters_accepted=jnp.sum(accepts) - 1,  # first accept is x0 itself
         relo_P=rP if cfg.with_relo else None,
         relo_Q=rQ if cfg.with_relo else None,
     )
