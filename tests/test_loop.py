@@ -252,6 +252,76 @@ def test_place_recognition_on_rendered_revisit():
     assert abs(info["rel_yaw"]) < 10.0
 
 
+@pytest.mark.slow
+def test_loop_detection_precision_recall_default_thresholds():
+    """Retrieval-threshold validation at the SHIPPED defaults
+    (score_best=0.14 / score_second=0.05 — the analogs of DBoW's
+    0.05/0.015 double threshold, pose_graph.cpp detectLoop): on a rendered
+    trajectory of novel views followed by genuine revisits,
+
+      * precision: NO loop may be accepted while every view is novel
+        (false positives corrupt the pose graph permanently);
+      * recall: a majority of true revisits must retrieve the correct
+        early keyframe (within its local neighborhood) and verify
+        geometrically.
+    """
+    rig = syn.SyntheticRig(width=320, height=240, fx=230.0, fy=230.0,
+                           cx=160.0, cy=120.0)
+    cam = make_camera("PINHOLE", fx=rig.fx, fy=rig.fy, cx=rig.cx, cy=rig.cy,
+                      width=320, height=240)
+    cfg = pg.PoseGraphConfig(max_kp=128, max_wp=64, recency_exclusion=6,
+                             min_loop_num=15)  # default 0.14/0.05 scores
+    graph = pg.PoseGraph(cfg, cam, np.eye(3), np.zeros(3))
+    from vins_rgbd_fast_tpu.ops import fast as fast_ops
+
+    n_novel, n_revisit = 12, 6
+
+    def pose(k):
+        if k < n_novel:  # sweep with changing viewpoint AND heading
+            P = np.array([-2.2 + 0.4 * k, 0.4 * np.sin(0.9 * k), 0.0])
+            yaw = 8.0 * np.sin(1.3 * k)
+        else:  # revisit keyframes 0..n_revisit-1 with small offsets
+            j = k - n_novel
+            P = np.array([-2.2 + 0.4 * j + 0.06, 0.4 * np.sin(0.9 * j) - 0.04,
+                          0.02])
+            yaw = 8.0 * np.sin(1.3 * j) + 1.5
+        c, s = np.cos(np.deg2rad(yaw)), np.sin(np.deg2rad(yaw))
+        Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        q = np.asarray(quat.R2q(jnp.asarray(Rz)))
+        return P, q
+
+    def add(k):
+        P, q = pose(k)
+        img, depth = syn.render_frame(rig, jnp.asarray(P, jnp.float32),
+                                      jnp.asarray(q, jnp.float32))
+        score = fast_ops.nms3(fast_ops.fast_score(img, 20.0))
+        _, idxs = jax.lax.top_k(score.reshape(-1), cfg.max_wp)
+        uv = np.stack([np.asarray(idxs) % 320, np.asarray(idxs) // 320],
+                      -1).astype(float)
+        d = np.asarray(depth)[uv[:, 1].astype(int), uv[:, 0].astype(int)]
+        rays = np.asarray(cam.lift(jnp.asarray(uv)))
+        Rwc = np.asarray(quat.q2R(jnp.asarray(q)))
+        wp_world = (rays * d[:, None]) @ Rwc.T + P
+        return graph.add_keyframe(np.asarray(img), float(k), P, q,
+                                  wp_world, uv, rays[:, :2], d > 0.2)
+
+    false_pos = []
+    for k in range(n_novel):
+        info = add(k)
+        if info is not None:
+            false_pos.append((k, info["old"]))
+    assert not false_pos, f"novel views accepted as loops: {false_pos}"
+
+    hits = 0
+    for k in range(n_novel, n_novel + n_revisit):
+        info = add(k)
+        true_old = k - n_novel
+        if info is not None and abs(info["old"] - true_old) <= 2:
+            hits += 1
+    assert hits >= n_revisit // 2, (
+        f"recall too low at default thresholds: {hits}/{n_revisit}")
+
+
 def _mini_posegraph(use_6dof=False):
     cam = make_camera("PINHOLE", fx=230.0, fy=230.0, cx=160.0, cy=120.0,
                       k1=0, k2=0, p1=0, p2=0, width=320, height=240)
