@@ -510,9 +510,17 @@ def _solve_and_slide(
 
     vis = _visual_data(cfg, st.table)
     imu_data = _make_preints(cfg, st) if cfg.use_imu else None
+    # one whitening pass shared by the solve AND the marginalization —
+    # preintegration covariance propagation is the most expensive fixed
+    # cost of a step, and the reference likewise marginalizes with the
+    # same pre_integrations objects the solve used (estimator.cpp:
+    # 1376-1481), relying on the first-order bias correction in evaluate
+    sqrt_infos = (slv._imu_sqrt_infos(imu_data)
+                  if (cfg.use_imu and imu_data is not None) else None)
     td_free = (jnp.linalg.norm(st.x.V[0]) > 0.2).astype(dtype) if cfg.use_imu else None
 
-    res = slv.solve(cfg.solver, st.x, vis, imu_data, st.prior, g, td_free, relo)
+    res = slv.solve(cfg.solver, st.x, vis, imu_data, st.prior, g, td_free,
+                    relo, sqrt_infos=sqrt_infos)
     x_new = res.x
     table = ftab.update_depths_from_solver(st.table, res.inv_depth, vis.depth_free)
     table = _moving_consistency(cfg, x_new, table)
@@ -524,8 +532,8 @@ def _solve_and_slide(
     vis_post = _visual_data(cfg, st.table)
 
     def m_old(st):
-        imu_d = _make_preints(cfg, st) if cfg.use_imu else None
-        return marg.marginalize_old(cfg.solver, st.x, vis_post, imu_d, st.prior, g)
+        return marg.marginalize_old(cfg.solver, st.x, vis_post, imu_data,
+                                    st.prior, g, sqrt_infos=sqrt_infos)
 
     def m_new(st):
         return marg.marginalize_new(cfg.solver, st.x, st.prior)

@@ -205,6 +205,7 @@ def marginalize_old(
     imu,
     prior: PriorFactor,
     gravity: jax.Array,
+    sqrt_infos=None,
 ) -> PriorFactor:
     """Build the new prior when the oldest frame is marginalized.
 
@@ -224,7 +225,7 @@ def marginalize_old(
     else:
         imu_m = imu
     s, _ = solver_mod.normal_equations_structured(
-        cfg, x, vis_m, imu_m, prior, gravity)
+        cfg, x, vis_m, imu_m, prior, gravity, sqrt_infos=sqrt_infos)
 
     # Stage 1 — eliminate ALL landmark dims first.  The λ block is diagonal,
     # so its pseudo-inverse (the reference's eigendecomp pinv with the

@@ -795,6 +795,7 @@ def solve(
     gravity: jax.Array,
     td_free=None,
     relo: Optional[ReloData] = None,
+    sqrt_infos: Optional[jax.Array] = None,
 ) -> SolveResult:
     """Damped Gauss-Newton with accept/reject, ≤``max_iters`` steps.
 
@@ -806,7 +807,8 @@ def solve(
         relo = empty_relo(cfg.maxf, dtype)
     relo_active = relo.active if (cfg.with_relo and relo is not None) else None
     fm = free_mask(cfg, vis, dtype, td_free, relo_active)
-    sqrt_infos = _imu_sqrt_infos(imu) if (cfg.use_imu and imu is not None) else None
+    if sqrt_infos is None:
+        sqrt_infos = _imu_sqrt_infos(imu) if (cfg.use_imu and imu is not None) else None
     RO = cfg.relo_off
     nP = nxp(cfg)
     # p-side / λ split of the free mask (structured layout: relo after NX)
