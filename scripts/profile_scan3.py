@@ -76,6 +76,15 @@ def make_run(mode, ecfg=ecfg0, tcfg=tcfg):
         imu = est.ImuInterval(dts=idts, acc=iacc, gyr=igyr)
         keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
             base_keys, step_idx)
+        if mode == "none":
+            # carry/scan floor: touch inputs, change nothing
+            return (trk, st, base_keys, step_idx + 1), jnp.mean(img, (1, 2))
+        if mode == "glue":
+            bg = st.x.Bg[:, WINDOW_SIZE]
+            relR = jax.vmap(bp.gyro_relative_R)(idts, igyr, bg, st.x.qic)
+            d = jax.vmap(ft.lookup_depth)(depth, feats0.uv, feats0.ids >= 0)
+            return (trk, st, base_keys, step_idx + 1), (
+                jnp.mean(d, -1) + relR[:, 0, 0])
         if mode != "backend":
             bg = st.x.Bg[:, WINDOW_SIZE]
             relR = jax.vmap(bp.gyro_relative_R)(idts, igyr, bg, st.x.qic)
@@ -114,9 +123,25 @@ def make_run(mode, ecfg=ecfg0, tcfg=tcfg):
 
 
 REPS = 6
+import re as _re
+
+
+def _nops(fn):
+    comp = fn.lower(trk0, st0, batch).compile()
+    txt = comp.as_text()
+    n = sum(1 for line in txt.splitlines()
+            if _re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = ", line))
+    ca = comp.cost_analysis()
+    return n, ca.get("flops", 0), ca.get("bytes accessed", 0)
 
 
 def timeit(name, fn):
+    # the library's track_frame/vio_step are themselves jitted: their traced
+    # jaxprs are CACHED per (static cfg, shapes), so module monkeypatches
+    # are invisible unless the trace caches are dropped first
+    jax.clear_caches()
+    nops, fl, by = _nops(fn)
+    print(f"{name:34s} ops={nops} flops={fl/1e9:.2f}G bytes={by/1e9:.2f}G")
     out = fn(trk0, st0, batch); jax.block_until_ready(out)
     ts = []
     for _ in range(REPS):
@@ -130,6 +155,8 @@ def timeit(name, fn):
 
 
 print(f"seed {SEED}  B={B} T={T}")
+timeit("scan NONE (carry floor)", make_run("none"))
+timeit("scan glue (relR+depth)", make_run("glue"))
 timeit("scan FULL", make_run("full"))
 timeit("scan frontend-only", make_run("frontend"))
 timeit("scan backend-only", make_run("backend"))

@@ -192,3 +192,17 @@ def test_pnp_ransac_recovers_pose():
     np.testing.assert_allclose(t_est, -R.T @ t, atol=2e-2)
     inl = np.asarray(res.inliers)
     assert inl[~gt_in].sum() == 0
+
+
+def test_fast_pallas_matches_xla():
+    """The fused Pallas FAST+NMS stencil is exact-equivalent to the XLA
+    formulation (interpret mode here; checked on-device too)."""
+    import numpy as np
+    from vins_rgbd_fast_tpu.ops import fast as fast_ops
+    from vins_rgbd_fast_tpu.ops import fast_pallas
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (100, 128)).astype(np.float32))
+    ref = fast_ops.nms3(fast_ops.fast_score(img, 20.0))
+    out = fast_pallas.fast_score_nms(img, 20.0, interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))

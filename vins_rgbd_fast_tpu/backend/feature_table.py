@@ -137,46 +137,54 @@ def ingest_frame(
     # row r takes new feature c iff free[r] & can_alloc[c] & free_rank[r]==new_rank[c]
     assign = free[:, None] & can_alloc[None, :] & (free_rank[:, None] == new_rank[None, :])
 
-    # --- target row per column (matched or allocated), -1 if dropped ---
-    alloc_row = jnp.argmax(assign, axis=0)
-    col_alloc = jnp.any(assign, axis=0)
-    target_row = jnp.where(col_has_match, col_row, jnp.where(col_alloc, alloc_row, maxf))
+    # --- scatter-free row-space update ---------------------------------
+    # TPU scatters/gathers serialize per index (the .at[target_row].set
+    # formulation cost ~15 ms / 5.3 GB of traffic per batched step).  In
+    # row space everything collapses: a MATCHED row r satisfies
+    # t.ids[r] == feats.ids[c], so "gather row-carried fields via col_row
+    # and scatter back to target_row" is the identity — only the incoming
+    # per-frame slot values ever cross the column→row boundary, and that
+    # is ONE one-hot contraction per field (MXU work).
+    matched_r = jnp.any(match, axis=1)  # (MAXF,) row re-observed this frame
+    alloc_r = jnp.any(assign, axis=1)  # (MAXF,) row allocated to a new feat
+    hit_r = matched_r | alloc_r
+    S = (match | assign).astype(t.pts.dtype)  # (MAXF, MAXC) one-hot per row
 
-    # scatter per-column data into rows (row `maxf` = dropped sink)
-    def scat(field, values):
-        return field.at[target_row].set(values, mode="drop")
+    def pull(values):  # (MAXC, ...) -> (MAXF, ...) incoming value per row
+        return jnp.einsum("rc,c...->r...", S, values)
 
-    new_ids = scat(t.ids, feats.ids.astype(jnp.int32))
-    # start frame: keep for matched, set for allocated
-    start_vals = jnp.where(col_has_match, t.start[col_row], frame_idx)
-    new_start = scat(t.start, start_vals.astype(jnp.int32))
-    # fresh rows must have cleared history
-    cleared_mask = jnp.where(col_has_match[:, None], t.obs_mask[col_row], False)
-    new_obs_mask = scat(t.obs_mask, cleared_mask)
-    new_obs_mask = new_obs_mask.at[target_row, frame_idx].set(True, mode="drop")
+    new_ids = jnp.where(
+        alloc_r, jnp.einsum("rc,c->r", S.astype(jnp.int32),
+                            feats.ids.astype(jnp.int32)), t.ids)
+    new_start = jnp.where(alloc_r, frame_idx, t.start).astype(jnp.int32)
+    fh = jax.nn.one_hot(frame_idx, FRAMES, dtype=t.pts.dtype)  # frame slot
+    fh_b = fh > 0.5
+    new_obs_mask = jnp.where(
+        hit_r[:, None], (t.obs_mask & matched_r[:, None]) | fh_b[None, :],
+        t.obs_mask)
 
-    def scat_frame(field, values):
-        # keep matched-row history, zero allocated-row history, set this frame
-        hist = jnp.where(
-            col_has_match[:, None, None] if field.ndim == 3 else col_has_match[:, None],
-            field[col_row],
-            jnp.zeros_like(field[col_row]),
-        )
-        out = field.at[target_row].set(hist, mode="drop")
-        return out.at[target_row, frame_idx].set(values, mode="drop")
+    def set_frame2(field, values):
+        """Matched rows keep history, allocated rows clear it; both write
+        the incoming value at slot frame_idx; unhit rows unchanged.
+        field (MAXF, FRAMES[, D]); values (MAXC[, D])."""
+        nd = field.ndim
+        rshape = (maxf,) + (1,) * (nd - 1)
+        hist = jnp.where(matched_r.reshape(rshape), field,
+                         jnp.zeros_like(field))
+        fslot = fh.reshape((1, FRAMES) + (1,) * (nd - 2))
+        vin = pull(values)[:, None] if nd == 3 else pull(values)[:, None]
+        upd = hist * (1.0 - fslot) + vin * fslot
+        return jnp.where(hit_r.reshape(rshape), upd, field)
 
-    new_pts = scat_frame(t.pts, feats.pts)
-    new_uv = scat_frame(t.uv, feats.uv)
-    new_vel = scat_frame(t.vel, feats.vel)
-    new_td = scat_frame(t.td_obs, jnp.full((maxc,), td, t.td_obs.dtype))
-    new_depth = scat_frame(t.depth_meas, feats.depth)
+    new_pts = set_frame2(t.pts, feats.pts)
+    new_uv = set_frame2(t.uv, feats.uv)
+    new_vel = set_frame2(t.vel, feats.vel)
+    new_td = set_frame2(t.td_obs, jnp.full((maxc,), td, t.td_obs.dtype))
+    new_depth = set_frame2(t.depth_meas, feats.depth)
 
-    est_vals = jnp.where(col_has_match, t.est_depth[col_row], -1.0)
-    flag_vals = jnp.where(col_has_match, t.flag[col_row], FLAG_NONE)
-    dyn_vals = jnp.where(col_has_match, t.is_dynamic[col_row], False)
-    new_est = scat(t.est_depth, est_vals.astype(t.est_depth.dtype))
-    new_flag = scat(t.flag, flag_vals.astype(jnp.int32))
-    new_dyn = scat(t.is_dynamic, dyn_vals)
+    new_est = jnp.where(alloc_r, -1.0, t.est_depth).astype(t.est_depth.dtype)
+    new_flag = jnp.where(alloc_r, FLAG_NONE, t.flag).astype(jnp.int32)
+    new_dyn = jnp.where(alloc_r, False, t.is_dynamic)
 
     t2 = FeatureTable(
         ids=new_ids, start=new_start, obs_mask=new_obs_mask, pts=new_pts,

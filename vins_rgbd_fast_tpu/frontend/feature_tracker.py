@@ -316,7 +316,13 @@ def track_frame(
         tracked = tracked & fm.inliers
 
     # ---- FAST detection over the whole image ---------------------------
-    score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
+    if jax.default_backend() == "tpu":
+        # fused Pallas stencil (ONE HBM pass); exact-equivalent to the
+        # XLA formulation, which stays the CPU/other-backend path
+        from ..ops import fast_pallas
+        score = fast_pallas.fast_score_nms(img, cfg.fast_threshold)
+    else:
+        score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
     if cfg.fisheye:
         # circular FOV mask: suppress detections and kill tracks outside
         # (the reference loads a fisheye_mask image; setMask intersects it)

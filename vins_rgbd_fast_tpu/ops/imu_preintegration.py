@@ -172,49 +172,47 @@ def preintegrate_serial(
 def _fv_step(dt, acc0, acc1, un_gyr, q0, q1, ba, dtype):
     """F (15,15) / V (15,18) of one midpoint step, given the *already
     integrated* attitudes q0 (before) and q1 (after) — identical math to
-    ``midpoint_step`` but expressible in parallel across all steps."""
+    ``midpoint_step``, assembled by 3×3-block concatenation (NOT
+    ``.at[].set``: under vmap each dynamic-update-slice rewrites the whole
+    (...,15,15) tensor — ~25 full-array round trips per build)."""
     I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype=dtype)
     R0 = quat.q2R(q0)
     R1 = quat.q2R(q1)
     w_x = quat.skew(un_gyr)
     a0_x = quat.skew(acc0 - ba)
     a1_x = quat.skew(acc1 - ba)
     ImW = I3 - w_x * dt
+    R1a1 = R1 @ a1_x
 
-    F = jnp.zeros((15, 15), dtype=dtype)
-    F = F.at[O_P:O_P + 3, O_P:O_P + 3].set(I3)
-    F = F.at[O_P:O_P + 3, O_R:O_R + 3].set(
-        -0.25 * R0 @ a0_x * dt * dt - 0.25 * R1 @ a1_x @ ImW * dt * dt
-    )
-    F = F.at[O_P:O_P + 3, O_V:O_V + 3].set(I3 * dt)
-    F = F.at[O_P:O_P + 3, O_BA:O_BA + 3].set(-0.25 * (R0 + R1) * dt * dt)
-    F = F.at[O_P:O_P + 3, O_BG:O_BG + 3].set(0.25 * R1 @ a1_x * dt * dt * dt)
-    F = F.at[O_R:O_R + 3, O_R:O_R + 3].set(ImW)
-    F = F.at[O_R:O_R + 3, O_BG:O_BG + 3].set(-I3 * dt)
-    F = F.at[O_V:O_V + 3, O_R:O_R + 3].set(
-        -0.5 * R0 @ a0_x * dt - 0.5 * R1 @ a1_x @ ImW * dt
-    )
-    F = F.at[O_V:O_V + 3, O_V:O_V + 3].set(I3)
-    F = F.at[O_V:O_V + 3, O_BA:O_BA + 3].set(-0.5 * (R0 + R1) * dt)
-    F = F.at[O_V:O_V + 3, O_BG:O_BG + 3].set(0.5 * R1 @ a1_x * dt * dt)
-    F = F.at[O_BA:O_BA + 3, O_BA:O_BA + 3].set(I3)
-    F = F.at[O_BG:O_BG + 3, O_BG:O_BG + 3].set(I3)
+    def rows(*blks):
+        return jnp.concatenate(blks, axis=1)
 
-    V = jnp.zeros((15, 18), dtype=dtype)
-    v03 = -0.125 * R1 @ a1_x * dt * dt * dt
-    V = V.at[O_P:O_P + 3, 0:3].set(0.25 * R0 * dt * dt)
-    V = V.at[O_P:O_P + 3, 3:6].set(v03)
-    V = V.at[O_P:O_P + 3, 6:9].set(0.25 * R1 * dt * dt)
-    V = V.at[O_P:O_P + 3, 9:12].set(v03)
-    V = V.at[O_R:O_R + 3, 3:6].set(0.5 * I3 * dt)
-    V = V.at[O_R:O_R + 3, 9:12].set(0.5 * I3 * dt)
-    v63 = -0.25 * R1 @ a1_x * dt * dt
-    V = V.at[O_V:O_V + 3, 0:3].set(0.5 * R0 * dt)
-    V = V.at[O_V:O_V + 3, 3:6].set(v63)
-    V = V.at[O_V:O_V + 3, 6:9].set(0.5 * R1 * dt)
-    V = V.at[O_V:O_V + 3, 9:12].set(v63)
-    V = V.at[O_BA:O_BA + 3, 12:15].set(I3 * dt)
-    V = V.at[O_BG:O_BG + 3, 15:18].set(I3 * dt)
+    F = jnp.concatenate([
+        rows(I3,
+             -0.25 * R0 @ a0_x * dt * dt - 0.25 * R1a1 @ ImW * dt * dt,
+             I3 * dt,
+             -0.25 * (R0 + R1) * dt * dt,
+             0.25 * R1a1 * dt * dt * dt),
+        rows(Z3, ImW, Z3, Z3, -I3 * dt),
+        rows(Z3,
+             -0.5 * R0 @ a0_x * dt - 0.5 * R1a1 @ ImW * dt,
+             I3,
+             -0.5 * (R0 + R1) * dt,
+             0.5 * R1a1 * dt * dt),
+        rows(Z3, Z3, Z3, I3, Z3),
+        rows(Z3, Z3, Z3, Z3, I3),
+    ], axis=0)
+
+    v03 = -0.125 * R1a1 * dt * dt * dt
+    v63 = -0.25 * R1a1 * dt * dt
+    V = jnp.concatenate([
+        rows(0.25 * R0 * dt * dt, v03, 0.25 * R1 * dt * dt, v03, Z3, Z3),
+        rows(Z3, 0.5 * I3 * dt, Z3, 0.5 * I3 * dt, Z3, Z3),
+        rows(0.5 * R0 * dt, v63, 0.5 * R1 * dt, v63, Z3, Z3),
+        rows(Z3, Z3, Z3, Z3, I3 * dt, Z3),
+        rows(Z3, Z3, Z3, Z3, Z3, I3 * dt),
+    ], axis=0)
     return F, V
 
 
