@@ -53,6 +53,52 @@ def _subpix_patch(img_padded: jax.Array, p: jax.Array, size: int, pad: int):
     )
 
 
+def _row_strips(img_padded, y0, nrows):
+    """(N, nrows, Wp) row strips starting at integer rows y0 (N,) — ONE
+    row-granular gather instead of N 2-D window gathers (TPU executes 2-D
+    window gathers as serial per-row fragment copies; whole-row gathers
+    move contiguous lanes)."""
+    N = y0.shape[0]
+    rows = y0[:, None] + jnp.arange(nrows, dtype=y0.dtype)[None, :]
+    return jnp.take(img_padded, rows.reshape(-1), axis=0).reshape(
+        N, nrows, img_padded.shape[1])
+
+
+def _col_select(strips, x0, ncols, fx=None):
+    """Select ``ncols`` columns starting at integer x0 (N,) from
+    (N, R, Wp) strips via a one-hot selector einsum (MXU); with ``fx``
+    (N,) the selector carries bilinear x-weights."""
+    N, R, Wp = strips.shape
+    dtype = strips.dtype
+    iota = jnp.arange(Wp, dtype=jnp.int32)
+    idx = x0[:, None] + jnp.arange(ncols, dtype=jnp.int32)[None, :]  # (N,C)
+    hit = iota[None, :, None] == idx[:, None, :]
+    if fx is None:
+        C = hit.astype(dtype)
+    else:
+        f = fx[:, None, None]
+        C = hit.astype(dtype) * (1.0 - f) + (
+            iota[None, :, None] == idx[:, None, :] + 1).astype(dtype) * f
+    return jnp.einsum("nrw,nwc->nrc", strips, C)
+
+
+def _batched_subpix_patches(img_padded, pts, size, pad):
+    """Batched twin of ``_subpix_patch`` — (N, size, size) bilinear patches
+    via one row gather + fractional row blend + one weighted column-select
+    einsum (identical clamping semantics)."""
+    N = pts.shape[0]
+    H, W = img_padded.shape
+    half = (size - 1) // 2
+    base = jnp.floor(pts)
+    fx = pts[:, 0] - base[:, 0]
+    fy = (pts[:, 1] - base[:, 1])[:, None, None]
+    x0 = jnp.clip(base[:, 0].astype(jnp.int32) + pad - half, 0, W - size - 1)
+    y0 = jnp.clip(base[:, 1].astype(jnp.int32) + pad - half, 0, H - size - 1)
+    E = _row_strips(img_padded, y0, size + 1)
+    Ey = E[:, :-1, :] * (1.0 - fy) + E[:, 1:, :] * fy  # (N, size, Wp)
+    return _col_select(Ey, x0, size, fx)
+
+
 def _track_level_matmul(
     prev_img: jax.Array,
     cur_img: jax.Array,
@@ -88,26 +134,21 @@ def _track_level_matmul(
     cur_p = jnp.pad(cur_img, pad, mode="edge")
     Hp, Wp = cur_p.shape
 
-    def prep_point(p, u0):
-        # template patch + gradients (one gather per point, like before)
-        pe = _subpix_patch(prev_p, p, PS, pad)
-        tmpl = pe[1:-1, 1:-1]
-        Ix = (pe[1:-1, 2:] - pe[1:-1, :-2]) * 0.5
-        Iy = (pe[2:, 1:-1] - pe[:-2, 1:-1]) * 0.5
-        Gxx = jnp.sum(Ix * Ix)
-        Gxy = jnp.sum(Ix * Iy)
-        Gyy = jnp.sum(Iy * Iy)
-        # search window around the warm start (one gather per point)
-        q = p + u0
-        ax = jnp.clip(jnp.floor(q[0]).astype(jnp.int32) + pad - win // 2
-                      - search_margin, 0, Wp - WIN)
-        ay = jnp.clip(jnp.floor(q[1]).astype(jnp.int32) + pad - win // 2
-                      - search_margin, 0, Hp - WIN)
-        win_img = jax.lax.dynamic_slice(cur_p, (ay, ax), (WIN, WIN))
-        return tmpl, Ix, Iy, Gxx, Gxy, Gyy, win_img, ax, ay
-
-    tmpl, Ix, Iy, Gxx, Gxy, Gyy, win_img, ax, ay = jax.vmap(prep_point)(
-        pts_l, flow)
+    # template patches + gradients — batched row-strip/einsum extraction
+    pe = _batched_subpix_patches(prev_p, pts_l, PS, pad)  # (N, PS, PS)
+    tmpl = pe[:, 1:-1, 1:-1]
+    Ix = (pe[:, 1:-1, 2:] - pe[:, 1:-1, :-2]) * 0.5
+    Iy = (pe[:, 2:, 1:-1] - pe[:, :-2, 1:-1]) * 0.5
+    Gxx = jnp.sum(Ix * Ix, axis=(1, 2))
+    Gxy = jnp.sum(Ix * Iy, axis=(1, 2))
+    Gyy = jnp.sum(Iy * Iy, axis=(1, 2))
+    # search windows around the warm starts
+    q = pts_l + flow
+    ax = jnp.clip(jnp.floor(q[:, 0]).astype(jnp.int32) + pad - win // 2
+                  - search_margin, 0, Wp - WIN)
+    ay = jnp.clip(jnp.floor(q[:, 1]).astype(jnp.int32) + pad - win // 2
+                  - search_margin, 0, Hp - WIN)
+    win_img = _col_select(_row_strips(cur_p, ay, WIN), ax, WIN)
 
     det = Gxx * Gyy - Gxy * Gxy
     tr = Gxx + Gyy
