@@ -9,10 +9,11 @@ its frontend input cap — 20-30 Hz on embedded CPUs (config
 frontend_freq, BASELINE.md).  vs_baseline = fps / 30.
 
 Modes (BENCH_MODE env):
-  latency  (default) — one sequence, per-frame dispatch; fps = 1/latency
-  batched            — BENCH_BATCH independent sequences vmapped per chip
-                       (the framework's throughput-scaling axis); fps =
+  batched  (default) — BENCH_BATCH independent sequences, whole per-frame
+                       pipeline fused + vmapped + scanned (the
+                       framework's throughput-scaling axis); fps =
                        aggregate frames/sec/chip
+  latency            — one sequence, per-frame dispatch; fps = 1/latency
 """
 
 import json
@@ -231,7 +232,7 @@ def main_batched():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "latency") == "batched":
+    if os.environ.get("BENCH_MODE", "batched") == "batched":
         main_batched()
     else:
         main()

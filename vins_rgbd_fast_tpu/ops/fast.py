@@ -100,7 +100,23 @@ def grid_topk(
     # border, where the reference's detector sees few exclusive corners)
     s = score[:Hc, :Wc].reshape(rows, gh, cols, gw).transpose(0, 2, 1, 3)
     s = s.reshape(rows * cols, gh * gw)
-    vals, idx = jax.lax.top_k(s, per_grid)  # (G, k)
+    if per_grid <= 8:
+        # iterative argmax: lax.top_k sorts the whole (G, gh·gw) row
+        # (~2.3 ms/step in the batched scan); k rounds of argmax+mask are
+        # far cheaper for the small per-grid quotas and yield the same
+        # descending order
+        iota = jnp.arange(s.shape[1], dtype=jnp.int32)[None, :]
+        vs, ids = [], []
+        sc = s
+        for _ in range(per_grid):
+            i = jnp.argmax(sc, axis=1).astype(jnp.int32)
+            vs.append(jnp.take_along_axis(sc, i[:, None], axis=1)[:, 0])
+            ids.append(i)
+            sc = jnp.where(iota == i[:, None], -jnp.inf, sc)
+        vals = jnp.stack(vs, axis=1)
+        idx = jnp.stack(ids, axis=1)
+    else:
+        vals, idx = jax.lax.top_k(s, per_grid)  # (G, k)
     cy = idx // gw
     cx = idx % gw
     gy = (jnp.arange(rows * cols) // cols)[:, None] * gh
