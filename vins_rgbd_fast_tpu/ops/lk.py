@@ -110,7 +110,7 @@ def _track_level_matmul(
     eps: float,
     min_eig: float,
     check_border: bool,
-    search_margin: int = 10,
+    search_margin: int = 8,
 ):
     """Matmul-sampled LK level: ONE window gather per point, then every
     GN iteration samples the current patch by one-hot-selector einsums

@@ -105,9 +105,15 @@ class BatchedVioRunner:
                  axis: str = "batch", unroll: int = 1):
         # batched mode wants the matmul LK sampler: per-iteration patch
         # gathers serialize across the sequence batch (78 ms vs ~16 ms for
-        # B=8 tracking), while selector einsums batch for free
+        # B=8 tracking), while selector einsums batch for free.  Iteration
+        # caps are tighter than single-sequence mode: the vmapped
+        # while_loop runs to the worst lane across B×N tracks, and the
+        # per-iteration sampling einsums are the dominant tracker cost —
+        # 12/6 was ATE-neutral on the bench sweep.
         import dataclasses as _dc
-        tcfg = _dc.replace(tcfg, lk_sampler="matmul")
+        tcfg = _dc.replace(tcfg, lk_sampler="matmul",
+                           lk_max_iters=min(tcfg.lk_max_iters, 12),
+                           lk_coarse_iters=min(tcfg.lk_coarse_iters, 6))
         self.tcfg = tcfg
         self.cam = cam
         self.ecfg = ecfg
