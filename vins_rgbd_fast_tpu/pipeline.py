@@ -41,6 +41,7 @@ class VinsPipeline:
             equalize=vcfg.equalize,
             fisheye=vcfg.fisheye,
             use_imu_prediction=vcfg.imu,
+            lk_sampler="matmul",
         )
         self.tracker_state = ft.init_state(self.tcfg, dtype)
         self.estimator = est.VinsEstimator(
