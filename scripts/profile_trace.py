@@ -16,7 +16,7 @@ from vins_rgbd_fast_tpu.io import synthetic as syn
 from vins_rgbd_fast_tpu.pipeline import VinsPipeline
 from vins_rgbd_fast_tpu.parallel import batched_pipeline as bp
 
-B = 8
+B = int(__import__('os').environ.get('TRACE_B', '8'))
 warmup = 14
 T = 8
 n_frames = warmup + T
