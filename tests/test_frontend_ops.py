@@ -206,3 +206,28 @@ def test_fast_pallas_matches_xla():
     ref = fast_ops.nms3(fast_ops.fast_score(img, 20.0))
     out = fast_pallas.fast_score_nms(img, 20.0, interpret=True)
     assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_lk_pallas2_matches_xla_loop():
+    """The VMEM-resident Pallas LK iteration kernel (interpret mode) is
+    numerically equivalent to the XLA while_loop formulation."""
+    import numpy as np
+    H, W = 120, 160
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    img0 = (120 + 50 * np.sin(xx / 7.0) * np.cos(yy / 9.0)).astype(np.float32)
+    img1 = (120 + 50 * np.sin((xx - 1.4) / 7.0)
+            * np.cos((yy + 0.8) / 9.0)).astype(np.float32)
+    p0 = tuple(image_ops.build_pyramid(jnp.asarray(img0), 2))
+    p1 = tuple(image_ops.build_pyramid(jnp.asarray(img1), 2))
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(np.stack([rng.uniform(25, 135, 24),
+                                rng.uniform(25, 95, 24)], -1).astype(np.float32))
+    act = jnp.ones(24, bool)
+    a = lk_ops.pyramidal_lk(p0, p1, pts, pts, act, max_iters=8,
+                            coarse_iters=4, sampler="matmul", engine="xla")
+    b = lk_ops.pyramidal_lk(p0, p1, pts, pts, act, max_iters=8,
+                            coarse_iters=4, sampler="matmul",
+                            engine="pallas", engine_interpret=True)
+    assert np.abs(np.asarray(a.pts) - np.asarray(b.pts)).max() < 1e-3
+    assert bool((a.status == b.status).all())

@@ -111,6 +111,8 @@ def _track_level_matmul(
     min_eig: float,
     check_border: bool,
     search_margin: int = 8,
+    engine: str = "xla",
+    engine_interpret: bool = False,
 ):
     """Matmul-sampled LK level: ONE window gather per point, then every
     GN iteration samples the current patch by one-hot-selector einsums
@@ -180,30 +182,42 @@ def _track_level_matmul(
              + (iota[None, None, :] == idy + 1) * fy).astype(dtype)
         return jnp.einsum("nrw,nwv,nvc->nrc", R, win_img, C)
 
-    def cond(carry):
-        k, u, done = carry
-        return (k < max_iters) & ~jnp.all(done)
-
-    def body(carry):
-        k, u, done = carry
-        cur = sample(u)
-        dI = cur - tmpl
-        bx = jnp.einsum("nij,nij->n", dI, Ix)
-        by = jnp.einsum("nij,nij->n", dI, Iy)
-        du = jnp.stack([
-            inv_det * (Gyy * bx - Gxy * by),
-            inv_det * (-Gxy * bx + Gxx * by),
-        ], axis=-1)
-        u_new = jnp.where(done[:, None], u, u - du)
-        small = jnp.sum(du * du, axis=-1) < eps * eps
-        return (k + 1, u_new, done | small)
-
     done0 = ~(active & ok_eig)
-    _, u, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), flow, done0))
+    if engine == "pallas":
+        # VMEM-resident iteration kernel — identical selectors/updates,
+        # fixed iteration count with done-masking (≡ the all-done early
+        # exit of the while_loop)
+        from . import lk_pallas2
+        u, err = lk_pallas2.lk_iterate(
+            tmpl, Ix, Iy, win_img,
+            pts_l[:, 0] - axf - (win // 2), pts_l[:, 1] - ayf - (win // 2),
+            flow, done0, inv_det, Gxx, Gxy, Gyy,
+            w=win, WIN=WIN, iters=max_iters, eps=eps,
+            interpret=engine_interpret)
+    else:
+        def cond(carry):
+            k, u, done = carry
+            return (k < max_iters) & ~jnp.all(done)
 
-    fin = sample(u)
-    err = jnp.mean(jnp.abs(fin - tmpl), axis=(1, 2))
+        def body(carry):
+            k, u, done = carry
+            cur = sample(u)
+            dI = cur - tmpl
+            bx = jnp.einsum("nij,nij->n", dI, Ix)
+            by = jnp.einsum("nij,nij->n", dI, Iy)
+            du = jnp.stack([
+                inv_det * (Gyy * bx - Gxy * by),
+                inv_det * (-Gxy * bx + Gxx * by),
+            ], axis=-1)
+            u_new = jnp.where(done[:, None], u, u - du)
+            small = jnp.sum(du * du, axis=-1) < eps * eps
+            return (k + 1, u_new, done | small)
+
+        _, u, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), flow, done0))
+
+        fin = sample(u)
+        err = jnp.mean(jnp.abs(fin - tmpl), axis=(1, 2))
     new_pos = pts_l + u
     # flow must stay inside the sampled window (replaces divergence the
     # gather formulation caught by clamping)
@@ -310,6 +324,9 @@ def pyramidal_lk(
     min_eig: float = 1e-4,
     coarse_iters: int = 0,  # 0 -> same as max_iters
     sampler: str = "gather",
+    engine: str = "auto",  # matmul sampler: "pallas" iteration kernel on
+    # TPU, the XLA while_loop elsewhere; "xla"/"pallas" force
+    engine_interpret: bool = False,  # pallas interpret mode (tests)
 ) -> LKResult:
     """Track pts from prev to cur across the pyramid (coarse→fine).
 
@@ -330,8 +347,18 @@ def pyramidal_lk(
     """
     levels = len(prev_pyr)
     dtype = prev_pyr[0].dtype
-    level_fn = (_track_level_matmul if sampler == "matmul"
-                else _track_level_gather)
+    if sampler == "matmul":
+        import functools as _ft
+        eng = engine
+        if eng == "auto":
+            # the VMEM-resident Pallas iteration kernel (lk_pallas2) is
+            # numerically equivalent but not yet proven on-device through
+            # the remote-compile tunnel — opt in with engine="pallas"
+            eng = "xla"
+        level_fn = _ft.partial(_track_level_matmul, engine=eng,
+                               engine_interpret=engine_interpret)
+    else:
+        level_fn = _track_level_gather
     scale_top = jnp.asarray(2.0 ** (levels - 1), dtype)
     flow = (init_pts - pts) / scale_top
     status = active
