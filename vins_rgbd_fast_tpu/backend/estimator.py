@@ -748,7 +748,8 @@ def init_mono(
     t_cw = jnp.zeros((FRAMES, 3), dtype)
     R_cw = R_cw.at[jW].set(R_rel)
     t_cw = t_cw.at[jW].set(t_rel)
-    pose_known = (jnp.arange(FRAMES) == l) | (jnp.arange(FRAMES) == jW)
+    anchors = (jnp.arange(FRAMES) == l) | (jnp.arange(FRAMES) == jW)
+    pose_known = anchors
 
     chain_ok = rel_ok
     for rnd in range(3):
@@ -768,8 +769,10 @@ def init_mono(
         keys_f = jax.random.split(jax.random.fold_in(key, rnd), FRAMES)
         Rn, tn, okn = jax.vmap(pnp_frame)(
             jnp.arange(FRAMES), R_cw, t_cw, keys_f)
-        keep = pose_known  # l and W anchor the gauge; others update on ok
-        upd = okn & ~keep
+        # only l and W anchor the gauge; every other frame (including ones
+        # solved in earlier rounds) refines against the re-triangulated
+        # structure each round
+        upd = okn & ~anchors
         R_cw = jnp.where(upd[:, None, None], Rn, R_cw)
         t_cw = jnp.where(upd[:, None], tn, t_cw)
         pose_known = pose_known | okn
@@ -992,8 +995,16 @@ class VinsEstimator:
         return bool(self._imu_buf) and self._imu_buf[-1][0] >= t
 
     def _collect_interval(self, t0: float, t1: float) -> ImuInterval:
-        """Gather samples spanning (t0, t1] into the fixed buffer
-        (``getIMUInterval`` semantics incl. boundary handling)."""
+        dts, acc, gyr = self._collect_interval_np(t0, t1)
+        return ImuInterval(jnp.asarray(dts, self.dtype),
+                           jnp.asarray(acc, self.dtype),
+                           jnp.asarray(gyr, self.dtype))
+
+    def _collect_interval_np(self, t0: float, t1: float):
+        """Gather samples spanning (t0, t1] into fixed numpy buffers
+        (``getIMUInterval`` semantics incl. boundary handling).  Kept in
+        numpy so the fused latency path can pack them into its single
+        per-frame upload."""
         maxi = self.cfg.max_imu
         dts = np.zeros(maxi)
         acc = np.zeros((maxi + 1, 3))
@@ -1003,9 +1014,7 @@ class VinsEstimator:
         while len(buf) > 1 and buf[1][0] <= t0:
             buf.pop(0)
         if not buf:
-            return ImuInterval(jnp.asarray(dts, self.dtype),
-                               jnp.asarray(acc, self.dtype),
-                               jnp.asarray(gyr, self.dtype))
+            return dts, acc, gyr
         acc[0] = buf[0][1]
         gyr[0] = buf[0][2]
         t_prev = t0
@@ -1036,9 +1045,7 @@ class VinsEstimator:
         # consumed samples before t1 stay for the boundary of next interval
         while len(buf) > 1 and buf[1][0] < t1:
             buf.pop(0)
-        return ImuInterval(jnp.asarray(dts, self.dtype),
-                           jnp.asarray(acc, self.dtype),
-                           jnp.asarray(gyr, self.dtype))
+        return dts, acc, gyr
 
     # -- frames -------------------------------------------------------------
     def process_features(self, feats: FrameFeatures, t: float) -> Optional[dict]:

@@ -81,14 +81,8 @@ class KeyFrameData(NamedTuple):
     wp_desc: np.ndarray  # (max_wp, 256) int8
 
 
-def extract_keyframe_features(
-    cfg: PoseGraphConfig,
-    cam: CameraModel,
-    img: jax.Array,
-    wp_world: np.ndarray,
-    wp_uv: np.ndarray,
-    wp_valid: np.ndarray,
-):
+def _extract_kf_device(cfg: PoseGraphConfig, cam: CameraModel,
+                       img: jax.Array, wp_uv: jax.Array, wp_valid: jax.Array):
     """Device part of KeyFrame construction (``keyframe.cpp:80-119``):
     fresh FAST-20 keypoints + BRIEF for retrieval, BRIEF on the VIO window
     points for matching."""
@@ -103,14 +97,35 @@ def extract_keyframe_features(
     kp_desc = brief.compute_descriptors(img, kp_uv, kp_valid)
     rays = cam.lift(kp_uv)
     kp_norm = rays[:, :2]
+    wp_desc = brief.compute_descriptors(img, wp_uv, wp_valid)
+    return kp_uv, kp_norm, kp_valid, kp_desc, wp_desc
 
-    wp_uv_j = jnp.asarray(wp_uv, img.dtype)
-    wp_val_j = jnp.asarray(wp_valid)
-    wp_desc = brief.compute_descriptors(img, wp_uv_j, wp_val_j)
-    return (
-        np.asarray(kp_uv), np.asarray(kp_norm), np.asarray(kp_valid),
-        np.asarray(kp_desc), np.asarray(wp_desc),
-    )
+
+def extract_keyframe_features(
+    cfg: PoseGraphConfig,
+    cam: CameraModel,
+    img: jax.Array,
+    wp_world: np.ndarray,
+    wp_uv: np.ndarray,
+    wp_valid: np.ndarray,
+):
+    out = _extract_kf_device(cfg, cam, img, jnp.asarray(wp_uv, img.dtype),
+                             jnp.asarray(wp_valid))
+    return tuple(np.asarray(o) for o in out)
+
+
+def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
+    """Compiled K-way keyframe feature extraction: the batched runner
+    produces keyframes from B sequences at once, and per-keyframe eager
+    extraction would cost a handful of dispatches each — vmap the whole
+    device part instead (one dispatch per segment)."""
+
+    @jax.jit
+    def extract(imgs, wp_uv, wp_valid):  # (K,H,W), (K,max_wp,2), (K,max_wp)
+        return jax.vmap(lambda im, uv, v: _extract_kf_device(
+            cfg, cam, im, uv, v))(imgs, wp_uv, wp_valid)
+
+    return extract
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +390,13 @@ class PoseGraph:
         # on the first cross-sequence loop of each sequence
         self.w_r_vio = np.eye(3)
         self.w_t_vio = np.zeros(3)
-        self.sequence_aligned = {0: True, 1: True}  # seq -> merged into map
+        # seq -> merged into map.  Only the base sequence 0 starts aligned:
+        # the reference pushes sequence_loop=false for every live sequence
+        # (pose_graph.cpp:14-15,55-58), so the first loop from live sequence 1
+        # against a loaded map (sequence 0) performs the vio->map world merge.
+        # Without a loaded map all loops are intra-sequence and the flag is
+        # never consulted.
+        self.sequence_aligned = {0: True, 1: False}
 
     # ------------------------------------------------------------------
     @property

@@ -173,7 +173,12 @@ def fundamental_ransac(
         F_ref = _eight_point(p1, p2, rank2=True, w=w)
         e_ref = _epipolar_err(F_ref, p1, p2)
         inl_ref = (e_ref < threshold) & valid
-        better = jnp.sum(inl_ref) >= jnp.sum(inliers)
+        # an empty consensus set degenerates _normalize_pts (scale blows up,
+        # F goes NaN) yet 0 >= 0 would still accept — require a solvable
+        # 8-point system and a finite model before replacing the winner
+        better = ((jnp.sum(inl_ref) >= jnp.sum(inliers))
+                  & (jnp.sum(w) >= 8)
+                  & jnp.all(jnp.isfinite(F_ref)))
         F = jnp.where(better, F_ref, F)
         inliers = jnp.where(better, inl_ref, inliers)
 

@@ -864,7 +864,12 @@ def solve(
         cur = sel(cand, best)
         cost_cur = jnp.where(accept, cost_c, cost_b)
         sys_cur = sel(s_c, sys_b)
-        lm = jnp.where(accept, lm * cfg.lm_down, lm * cfg.lm_up)
+        # the bootstrap iteration (cost_b = inf) always accepts x0 — that is
+        # not evidence about the damping, so leave lambda at lm_lambda0 for
+        # the first real GN step
+        bootstrap = ~jnp.isfinite(cost_b)
+        lm = jnp.where(bootstrap, lm,
+                       jnp.where(accept, lm * cfg.lm_down, lm * cfg.lm_up))
         dxp, dxl = damped_step(sys_cur, lm)
         cand_new = advance(*cur, dxp, dxl)
         return (cur, cost_cur, sys_cur, lm, cand_new), (accept, cost_c)
@@ -886,7 +891,9 @@ def solve(
         x = yaw_gauge_fix(x, x0)
     return SolveResult(
         x=x, inv_depth=lam_vec, cost0=cost0, cost=cost,
-        iters_accepted=jnp.sum(accepts) - 1,  # first accept is x0 itself
+        # first accept is x0 itself; clamp so an all-reject run (non-finite
+        # initial cost) reports 0, not -1
+        iters_accepted=jnp.maximum(jnp.sum(accepts) - 1, 0),
         relo_P=rP if cfg.with_relo else None,
         relo_Q=rQ if cfg.with_relo else None,
     )

@@ -53,7 +53,12 @@ class FrameBatch(NamedTuple):
 
 
 class ScanOutputs(NamedTuple):
-    """Per-frame per-sequence outputs of the scanned runner (T, B, ...)."""
+    """Per-frame per-sequence outputs of the scanned runner (T, B, ...).
+
+    The ``wp_*`` fields are the newest frame's depth-anchored landmarks
+    (pre-slide) — everything the pose graph needs to build a keyframe, so
+    loop closure runs against the batched path too (the reference's
+    ``pubKeyframe`` → pose_graph_nodelet feed)."""
 
     P: jax.Array
     Q: jax.Array
@@ -61,6 +66,10 @@ class ScanOutputs(NamedTuple):
     cost: jax.Array
     is_keyframe: jax.Array
     n_features: jax.Array
+    wp_world: jax.Array  # (T, B, MAXF, 3)
+    wp_uv: jax.Array     # (T, B, MAXF, 2)
+    wp_norm: jax.Array   # (T, B, MAXF, 2)
+    wp_valid: jax.Array  # (T, B, MAXF)
 
 
 def gyro_relative_R(dts: jax.Array, gyr: jax.Array, bg: jax.Array,
@@ -89,6 +98,28 @@ def gyro_relative_R(dts: jax.Array, gyr: jax.Array, bg: jax.Array,
     R_imu = quat.q2R(quat.qnormalize(dq[0]))  # body rotation over interval
     R_ic = quat.q2R(qic)
     return R_ic.T @ R_imu.T @ R_ic
+
+
+def fused_frame_step(tcfg: ft.TrackerConfig, cam: CameraModel,
+                     ecfg: est.EstimatorConfig, trk, st,
+                     img, depth, t, imu: "est.ImuInterval", key,
+                     relo=None):
+    """ONE sequence's whole per-frame pipeline as a single traced program:
+    on-device gyro prediction → tracker → depth lookup → backend solve.
+
+    This is the shared core of both execution modes: the batched runner
+    vmaps it over B sequences; the latency pipeline jits it directly so a
+    steady-state frame is ONE host dispatch (vs three + a host gyro loop in
+    the unfused path — the reference's per-frame hot loop is
+    ``estimator_nodelet.cpp:192-459``)."""
+    bg = st.x.Bg[WINDOW_SIZE]  # newest solved gyro bias
+    relR = gyro_relative_R(imu.dts, imu.gyr, bg, st.x.qic)
+    trk, tout = ft.track_frame(tcfg, cam, trk, img, t, relR, key)
+    feats = tout.features
+    d = ft.lookup_depth(depth, feats.uv, feats.ids >= 0)
+    feats = feats._replace(depth=d)
+    st, sout = est.vio_step(ecfg, st, feats, imu, key, relo)
+    return trk, st, sout
 
 
 class BatchedVioRunner:
@@ -128,23 +159,17 @@ class BatchedVioRunner:
             trk, st, base_keys, step_idx = carry
             img, depth, t, idts, iacc, igyr = inp  # (B, ...) each
             imu = est.ImuInterval(dts=idts, acc=iacc, gyr=igyr)
-            bg = st.x.Bg[:, WINDOW_SIZE]  # (B,3) newest solved gyro bias
-            relR = jax.vmap(gyro_relative_R)(idts, igyr, bg, st.x.qic)
             keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
                 base_keys, step_idx)
-            trk, tout = jax.vmap(
-                lambda s, im, tt, r, k: ft.track_frame(
-                    tcfg_, cam_, s, im, tt, r, k)
-            )(trk, img, t, relR, keys)
-            feats = tout.features
-            d = jax.vmap(ft.lookup_depth)(depth, feats.uv, feats.ids >= 0)
-            feats = feats._replace(depth=d)
-            st, sout = jax.vmap(
-                lambda s, f, i, k: est.vio_step(ecfg_, s, f, i, k)
-            )(st, feats, imu, keys)
+            trk, st, sout = jax.vmap(
+                lambda tr, s, im, dp, tt, iv, k: fused_frame_step(
+                    tcfg_, cam_, ecfg_, tr, s, im, dp, tt, iv, k)
+            )(trk, st, img, depth, t, imu, keys)
             out = ScanOutputs(P=sout.P, Q=sout.Q, V=sout.V, cost=sout.cost,
                               is_keyframe=sout.is_keyframe,
-                              n_features=sout.n_features)
+                              n_features=sout.n_features,
+                              wp_world=sout.wp_world, wp_uv=sout.wp_uv,
+                              wp_norm=sout.wp_norm, wp_valid=sout.wp_valid)
             return (trk, st, base_keys, step_idx + 1), out
 
         @partial(jax.jit, static_argnames=())

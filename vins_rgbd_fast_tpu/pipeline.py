@@ -27,7 +27,7 @@ class VinsPipeline:
 
     def __init__(self, vcfg: VinsConfig, dtype=jnp.float32,
                  eager_outputs: bool = True, failure_check_interval: int = 1,
-                 pose_graph_config=None):
+                 pose_graph_config=None, fused_steady_state: bool = False):
         self.vcfg = vcfg
         self.dtype = dtype
         self.cam = vcfg.camera()
@@ -60,6 +60,11 @@ class VinsPipeline:
         # pre-split key pool: eager PRNGKey(int) per frame costs ~90 ms on
         # tunneled TPUs (new constant -> new program); indexing is ~free
         self._keys = jax.random.split(jax.random.PRNGKey(0), 4096)
+        # fused steady-state: once NON_LINEAR, a frame is ONE compiled
+        # program (gyro predict + track + depth + solve) — built lazily on
+        # first use so config tweaks after construction are honored
+        self._fused_enabled = fused_steady_state
+        self._fused_fn = None
 
         # loop closure (the reference's second nodelet), optional
         self.pose_graph = None
@@ -145,6 +150,14 @@ class VinsPipeline:
             rel_R = np.eye(3)
         self._last_frame_time = t
 
+        if (self._fused_enabled and frame.publish
+                and self.estimator.solver_flag == est.VinsEstimator.NON_LINEAR):
+            out = self._spin_fused(frame)
+            if self.pose_graph is not None and out is not None and isinstance(out, dict):
+                self._consume_relo_result(out)
+                self._maybe_add_keyframe(out, frame, t)
+            return out
+
         with self.timer.stage("frontend"):
             img = jnp.asarray(frame.image, self.dtype)
             self.tracker_state, tout = ft.track_frame(
@@ -171,6 +184,102 @@ class VinsPipeline:
         if self.pose_graph is not None and out is not None and isinstance(out, dict):
             self._consume_relo_result(out)
             self._maybe_add_keyframe(out, frame, t)
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_fused(self):
+        """Compile the single-dispatch steady-state frame program (shared
+        core with the batched runner, ``parallel.batched_pipeline.
+        fused_frame_step``).
+
+        Per-frame host↔device traffic is ONE small packed f32 upload
+        (timestamp + IMU interval) besides the image/depth: on tunneled
+        TPUs each small transfer costs ~1 ms, and the naive path's five
+        (t scalar, 3 IMU arrays, PRNG key slice) were ~60% of frame time.
+        The PRNG key is derived on device from a carried step counter."""
+        from .parallel.batched_pipeline import fused_frame_step
+        from .ops import solver as slv
+
+        tcfg, cam, ecfg = self.tcfg, self.cam, self.estimator.cfg
+        maxi = ecfg.max_imu
+        with_relo = ecfg.fast_relo
+
+        @jax.jit
+        def fused(trk, st, img, depth, packed, base_key, step, relo=None):
+            t = packed[0]
+            dts = packed[1:1 + maxi]
+            acc = packed[1 + maxi:1 + maxi + 3 * (maxi + 1)].reshape(maxi + 1, 3)
+            gyr = packed[1 + maxi + 3 * (maxi + 1):].reshape(maxi + 1, 3)
+            imu = est.ImuInterval(dts=dts, acc=acc, gyr=gyr)
+            key = jax.random.fold_in(base_key, step)
+            with jax.default_matmul_precision("float32"):
+                trk, st, sout = fused_frame_step(
+                    tcfg, cam, ecfg, trk, st, img, depth, t, imu, key, relo)
+            return trk, st, sout, step + 1
+
+        if with_relo:
+            self._fused_fn = fused
+        else:
+            self._fused_fn = lambda trk, st, img, depth, packed, bk, sc: fused(
+                trk, st, img, depth, packed, bk, sc)
+        self._fused_base_key = jax.random.PRNGKey(2)
+        self._fused_step_ctr = jnp.asarray(0, jnp.int32)
+        self._fused_empty_relo = (slv.empty_relo(ecfg.maxf, self.dtype)
+                                  if with_relo else None)
+        self._fused_packed = np.zeros(1 + maxi + 6 * (maxi + 1), np.float32)
+        self._fused_ecfg = ecfg
+
+    def _spin_fused(self, frame) -> Optional[object]:
+        """Steady-state frame as ONE device dispatch + one small upload.
+        Mirrors the bookkeeping of ``VinsEstimator.process_features``
+        (NON_LINEAR arm)."""
+        est_ = self.estimator
+        cfg = est_.cfg
+        if self._fused_fn is None or self._fused_ecfg is not cfg:
+            self._build_fused()
+        t = frame.t
+        if cfg.estimate_td and est_._step % max(est_.failure_check_interval, 4) == 0:
+            est_._td_cache = float(jax.device_get(est_.state.x.td))
+        cur_time = t + est_._td_cache
+        maxi = cfg.max_imu
+        packed = self._fused_packed
+        packed[0] = t
+        if cfg.use_imu:
+            dts, acc, gyr = est_._collect_interval_np(
+                est_.prev_time if est_.prev_time is not None else cur_time - 1e-3,
+                cur_time)
+            packed[1:1 + maxi] = dts
+            packed[1 + maxi:1 + maxi + 3 * (maxi + 1)] = acc.ravel()
+            packed[1 + maxi + 3 * (maxi + 1):] = gyr.ravel()
+        est_.prev_time = cur_time
+
+        img = jnp.asarray(frame.image, self.dtype)
+        depth = jnp.asarray(frame.depth, self.dtype)
+        packed_dev = jnp.asarray(packed)
+        with self.timer.stage("fused"):
+            if cfg.fast_relo:
+                relo = est_._pending_relo or self._fused_empty_relo
+                est_._pending_relo = None
+                (self.tracker_state, est_.state, step_out,
+                 self._fused_step_ctr) = self._fused_fn(
+                    self.tracker_state, est_.state, img, depth, packed_dev,
+                    self._fused_base_key, self._fused_step_ctr, relo)
+            else:
+                (self.tracker_state, est_.state, step_out,
+                 self._fused_step_ctr) = self._fused_fn(
+                    self.tracker_state, est_.state, img, depth, packed_dev,
+                    self._fused_base_key, self._fused_step_ctr)
+        self._frame_idx += 1
+        est_.headers = est_.headers[1:] + [t]
+        if est_._step % est_.failure_check_interval == 0:
+            if bool(jax.device_get(step_out.failure)):
+                est_.reset()
+                est_.prev_time = None
+                self.tracker_state = ft.init_state(self.tcfg, self.dtype)
+                est_._step += 1
+                return None
+        out = est_._emit(step_out, t)
+        est_._step += 1
         return out
 
     # ------------------------------------------------------------------
