@@ -12,8 +12,10 @@ Baseline: the reference (VINS-RGBD-FAST) is engineered to run real-time at
 its frontend input cap — 20-30 Hz on embedded CPUs (config frontend_freq,
 BASELINE.md).  vs_baseline = fps / 30.
 
-Env knobs: BENCH_MODE=both|batched|latency, BENCH_BATCH, BENCH_FRAMES,
-BENCH_SOLVER_ITERS, BENCH_LK_ITERS, BENCH_LK_COARSE, BENCH_FAILURE_CHECK.
+Env knobs: BENCH_MODE=both|batched|latency|recovery, BENCH_BATCH,
+BENCH_FRAMES, BENCH_SOLVER_ITERS, BENCH_LK_ITERS, BENCH_LK_COARSE,
+BENCH_FAILURE_CHECK, BENCH_LOOP (batched loop closure on/off, default on),
+BENCH_DEGRADE=off|mild|harsh (sensor-realism presets).
 """
 
 import dataclasses as dc
@@ -60,6 +62,35 @@ def _cfg(rig, seq):
     )
 
 
+def _degradation():
+    """BENCH_DEGRADE=off|mild|harsh: sensor-realism presets (D435i-like
+    quadratic depth noise, block/edge holes, exposure drift, read noise,
+    rolling-shutter shear, a moving sphere) — io/synthetic.py."""
+    from vins_rgbd_fast_tpu.io import synthetic as syn
+
+    name = os.environ.get("BENCH_DEGRADE", "off")
+    presets = {
+        "off": None,
+        "mild": syn.SensorDegradation(
+            depth_sigma=0.002, hole_p=0.03, exposure_amp=0.15,
+            read_noise=1.5),
+        "harsh": syn.SensorDegradation(
+            depth_sigma=0.006, hole_p=0.10, edge_hole=True,
+            exposure_amp=0.3, read_noise=3.0, rs_shear_px=2.0,
+            dyn_radius=0.5),
+    }
+    return presets[name]
+
+
+def _render(seq, rig, seed=0):
+    from vins_rgbd_fast_tpu.io import synthetic as syn
+
+    deg = _degradation()
+    if deg is None:
+        return syn.frames(seq, rig)
+    return syn.frames_degraded(seq, rig, deg, seed=seed)
+
+
 def _apply_envelope(pipe):
     """Throughput envelope shared by both modes: 4 scored LM candidates +
     LK 12/6 iteration caps — validated ATE-neutral on the noise-grid
@@ -98,7 +129,7 @@ def run_latency() -> dict:
     # DMAs into HBM; the remote tunnel's ~50 ms/MB host->device path is not
     # what we are measuring
     frames = []
-    for (t, img, depth) in syn.frames(seq, rig):
+    for (t, img, depth) in _render(seq, rig, seed=7):
         jax.block_until_ready(img)
         frames.append((t, img, depth))
 
@@ -160,6 +191,7 @@ def run_batched() -> dict:
     B = int(os.environ.get("BENCH_BATCH", "8"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
     warmup = 14  # fill window + init + settle
+    with_loop = os.environ.get("BENCH_LOOP", "1") != "0"
 
     rig = _rig()
     seqs = [syn.make_trajectory(n_frames, rig, seed=100 + b, omega_scale=0.15,
@@ -168,9 +200,9 @@ def run_batched() -> dict:
 
     # pre-render device-resident frames per sequence
     frames = []
-    for s in seqs:
+    for bi, s in enumerate(seqs):
         fr = []
-        for (t, img, depth) in syn.frames(s, rig):
+        for (t, img, depth) in _render(s, rig, seed=bi):
             fr.append((t, img, depth))
         frames.append(fr)
 
@@ -194,6 +226,21 @@ def run_batched() -> dict:
     runner = bp.BatchedVioRunner(pipes[0].tcfg, pipes[0].cam,
                                  pipes[0].estimator.cfg)
 
+    closer = None
+    if with_loop:
+        # loop closure rides the batched path: keyframes exported by the
+        # scan feed per-sequence pose graphs between segments (the
+        # reference's concurrent pose_graph nodelet) — its cost is INSIDE
+        # the timed region
+        from vins_rgbd_fast_tpu.loop.pose_graph import PoseGraphConfig
+        from vins_rgbd_fast_tpu.parallel.loop_closer import BatchedLoopCloser
+
+        ecfg = pipes[0].estimator.cfg
+        pg_cfg = PoseGraphConfig(max_wp=ecfg.maxf)
+        closer = BatchedLoopCloser(
+            pipes[0].cam, pipes[0].vcfg.ric_matrix(),
+            pipes[0].vcfg.tic_vector(), B, pg_cfg)
+
     # two equal-length staged segments: the first compiles+warms the scan
     # program, the second (different data, same shapes) is the timed run
     T = (n_frames - warmup) // 2
@@ -201,13 +248,20 @@ def run_batched() -> dict:
     batch_timed = bp.stage_frames(pipes, frames, warmup + T, warmup + 2 * T)
     jax.block_until_ready((batch_warm.imgs, batch_timed.imgs))
 
-    trk_states, est_states, _ = runner.run(trk_states, est_states, batch_warm)
+    trk_states, est_states, outs_w = runner.run(trk_states, est_states, batch_warm)
     jax.block_until_ready(est_states.x.P)
+    if closer is not None:  # compiles extraction/scoring programs
+        closer.consume(batch_warm, outs_w)
 
     t0 = time.perf_counter()
     trk_states, est_states, outs = runner.run(trk_states, est_states, batch_timed)
     jax.block_until_ready(est_states.x.P)
+    t_scan = time.perf_counter()
+    loop_stats = None
+    if closer is not None:
+        loop_stats = closer.consume(batch_timed, outs)
     elapsed = time.perf_counter() - t0
+    loop_ms = 1000.0 * (time.perf_counter() - t_scan)
     n_timed = T * B
     fps = n_timed / elapsed if elapsed > 0 else 0.0
 
@@ -220,13 +274,80 @@ def run_batched() -> dict:
         a = io_stream.ate_rmse(ts, Pb, seqs[b].times, seqs[b].P, align=False)
         if np.isfinite(a):
             ates.append(float(a))
-    return {
+    out = {
         "value": round(fps, 2),
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "batched_sequences": B,
         "ate_m": round(float(np.mean(ates)), 4) if ates else None,
         "ate_max_m": round(float(np.max(ates)), 4) if ates else None,
         "frames": n_timed,
+        "loop_closure": bool(closer is not None),
+    }
+    if loop_stats is not None:
+        out["loop_kf"] = int(loop_stats["n_keyframes"])
+        out["loop_ms"] = round(loop_ms, 1)
+    return out
+
+
+def run_recovery() -> dict:
+    """Failure-recovery cost (the reference reboots in-line on
+    failureDetection, estimator.cpp:345-353,1113-1159): latency mode with
+    per-frame failure checks, a burst of black frames injected mid-run, and
+    the reboot measured — frames and wall time from the triggered reset
+    until the estimator is back in NON_LINEAR."""
+    import jax
+    import jax.numpy as jnp
+
+    from vins_rgbd_fast_tpu.io import synthetic as syn
+    from vins_rgbd_fast_tpu.pipeline import VinsPipeline
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
+    inject_at, inject_n = 40, 3
+    rig = _rig()
+    seq = syn.make_trajectory(n_frames, rig, seed=7, omega_scale=0.15,
+                              acc_scale=0.3)
+    cfg = _cfg(rig, seq)
+    frames = []
+    for (t, img, depth) in syn.frames(seq, rig):
+        jax.block_until_ready(img)
+        frames.append((t, img, depth))
+    black = jnp.zeros_like(frames[0][1])
+
+    pipe = VinsPipeline(cfg, dtype=jnp.float32, eager_outputs=False,
+                        failure_check_interval=1, fused_steady_state=True)
+    pipe = _apply_envelope(pipe)
+    for (t, a, w) in seq.imu:
+        pipe.push_imu(t, a, w)
+
+    est = pipe.estimator
+    steady_t, steady_n = 0.0, 0
+    fail_seen_at = None
+    recover_t0 = recover_ms = None
+    recover_frames = 0
+    for k, (t, img, depth) in enumerate(frames):
+        use_img = black if inject_at <= k < inject_at + inject_n else img
+        t0 = time.perf_counter()
+        pipe.push_image(t, use_img)
+        pipe.push_depth(t, depth)
+        pipe.spin_once()
+        jax.block_until_ready(est.state.x.P)
+        dt = time.perf_counter() - t0
+        if fail_seen_at is None:
+            if k >= 16 and k < inject_at and est.solver_flag == est.NON_LINEAR:
+                steady_t += dt
+                steady_n += 1
+            if k >= inject_at and est.solver_flag != est.NON_LINEAR:
+                fail_seen_at = k
+                recover_t0 = time.perf_counter() - dt
+        elif recover_ms is None:
+            recover_frames += 1
+            if est.solver_flag == est.NON_LINEAR:
+                recover_ms = 1000.0 * (time.perf_counter() - recover_t0)
+    return {
+        "recovery_steady_fps": round(steady_n / steady_t, 2) if steady_t else None,
+        "recovery_triggered": fail_seen_at is not None,
+        "recovery_frames": recover_frames if recover_ms is not None else None,
+        "recovery_ms": round(recover_ms, 1) if recover_ms is not None else None,
     }
 
 
@@ -242,6 +363,9 @@ def main():
         result.update(run_batched())
     if mode in ("both", "latency"):
         result.update(run_latency())
+    if mode == "recovery":
+        result.update(run_recovery())
+        result["metric"] = "vio_failure_recovery"
     if mode == "latency":
         result["metric"] = "vio_fps_640x480_rgbd_latency"
         result["unit"] = "frames/s (single sequence)"

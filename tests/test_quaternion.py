@@ -125,3 +125,39 @@ def test_dtype_preserved():
     assert quat.qrot(q, v).dtype == jnp.float32
     assert quat.q2R(q).dtype == jnp.float32
     assert quat.so3_exp(v).dtype == jnp.float32
+
+
+def test_numpy_twins_match_jnp():
+    """utils.quaternion_np (host pose-graph math, dispatch-free) must be
+    bit-compatible with the jnp helpers in f64."""
+    from vins_rgbd_fast_tpu.utils import quaternion_np as nq
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        q1 = np.asarray(rand_q(rng))
+        q2 = np.asarray(rand_q(rng))
+        np.testing.assert_allclose(
+            nq.qmul(q1, q2),
+            np.asarray(quat.qmul(jnp.asarray(q1), jnp.asarray(q2))),
+            atol=1e-12)
+        R = nq.q2R(q1)
+        np.testing.assert_allclose(R, np.asarray(quat.q2R(jnp.asarray(q1))),
+                                   atol=1e-12)
+        # R2q up to sign
+        qb = nq.R2q(R)
+        qj = np.asarray(quat.R2q(jnp.asarray(R)))
+        if np.dot(qb, qj) < 0:
+            qb = -qb
+        np.testing.assert_allclose(qb, qj, atol=1e-9)
+        np.testing.assert_allclose(
+            nq.R2ypr(R), np.asarray(quat.R2ypr(jnp.asarray(R))), atol=1e-9)
+        ypr = rng.uniform(-170, 170, 3) * np.asarray([1.0, 0.49, 0.49])
+        np.testing.assert_allclose(
+            nq.ypr2R(ypr), np.asarray(quat.ypr2R(jnp.asarray(ypr))),
+            atol=1e-12)
+        a = rng.uniform(-720, 720)
+        np.testing.assert_allclose(
+            nq.normalize_angle_deg(a),
+            np.asarray(quat.normalize_angle_deg(jnp.asarray(a))), atol=1e-12)
+        np.testing.assert_allclose(
+            nq.yaw_R(a), np.asarray(quat.yaw_R(jnp.asarray(a))), atol=1e-12)

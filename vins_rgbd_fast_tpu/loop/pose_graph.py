@@ -38,6 +38,7 @@ from ..models.camera import CameraModel
 from ..ops import fast as fast_ops
 from ..ops import ransac as ransac_ops
 from ..utils import quaternion as quat
+from ..utils import quaternion_np as nq  # host math: no eager device dispatches
 from . import brief
 
 MIN_LOOP_NUM = 25  # keyframe.h:16
@@ -47,7 +48,8 @@ LOOP_T_MAX = 20.0
 
 @dataclasses.dataclass(frozen=True)
 class PoseGraphConfig:
-    max_keyframes: int = 512
+    max_keyframes: int = 4096  # retrieval/storage cap (device DB doubles up to this)
+    max_pgo_nodes: int = 512  # dense-LM PGO window (older nodes anchor the gauge)
     max_kp: int = 192  # FAST-20 retrieval keypoints per keyframe
     max_wp: int = 96  # VIO window points per keyframe
     max_loops: int = 64
@@ -112,6 +114,70 @@ def extract_keyframe_features(
     out = _extract_kf_device(cfg, cam, img, jnp.asarray(wp_uv, img.dtype),
                              jnp.asarray(wp_valid))
     return tuple(np.asarray(o) for o in out)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident retrieval DB kernels
+# ---------------------------------------------------------------------------
+#
+# The reference's DBoW2 inverted index (TemplatedDatabase.h) is sub-linear in
+# stored keyframes on a CPU; on TPU the equivalent property is a PERSISTENT
+# device buffer scored by one MXU matmul — the per-query cost that matters is
+# host→device transfer, which is O(1) here (just the query descriptors,
+# ~48 KB): the DB itself never leaves HBM.  Appends are a donated
+# dynamic_update_slice (no copy), uploads one keyframe's descriptors.
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _db_update(db, dbv, desc, valid, size):
+    zero = jnp.zeros((), size.dtype)
+    db = jax.lax.dynamic_update_slice(db, desc[None], (size, zero, zero))
+    dbv = jax.lax.dynamic_update_slice(dbv, valid[None], (size, zero))
+    return db, dbv
+
+
+def _scores_one(db, dbv, q, qv, score_dist: float):
+    """Retrieval scores of ONE query keyframe against the whole stored DB.
+
+    Score = fraction of valid query descriptors whose best Hamming match in
+    the stored keyframe is under ``score_dist`` (the MXU analog of DBoW2's
+    L1 BoW similarity, ``TemplatedVocabulary.h`` scoring)."""
+    cap, max_kp, _ = db.shape
+    D = brief.hamming_matrix(q, db.reshape(-1, brief.N_BITS))
+    D = D.reshape(q.shape[0], cap, max_kp)
+    D = jnp.where(dbv[None], D, jnp.inf)
+    minham = jnp.min(D, axis=2)  # (Nq, cap)
+    hits = (minham < score_dist) & qv[:, None]
+    return (jnp.sum(hits, axis=0) / jnp.maximum(jnp.sum(qv), 1)).astype(
+        jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("score_dist",))
+def _db_query(db, dbv, q, qv, n_old, score_dist: float):
+    """Per-stored-keyframe retrieval scores; slots >= n_old return -1."""
+    scores = _scores_one(db, dbv, q, qv, score_dist)
+    slot_ok = jnp.arange(db.shape[0]) < n_old
+    return jnp.where(slot_ok, scores, -1.0)
+
+
+@partial(jax.jit, static_argnames=("score_dist",))
+def _db_query_multi(db, dbv, qs, qvs, score_dist: float):
+    """Batched retrieval: (K, max_kp, 256) queries → (K, cap) raw scores in
+    ONE dispatch (no recency masking — callers mask per-query on host).
+    Used by the batched-throughput loop closer, where every keyframe of a
+    scan segment queries at once."""
+    return jax.vmap(lambda q, qv: _scores_one(db, dbv, q, qv, score_dist))(
+        qs, qvs)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _db_update_block(db, dbv, descs, valids, size):
+    """Append a CONTIGUOUS block of keyframes at ``size`` (segment-deferred
+    appends from the batched loop closer — one dispatch instead of K)."""
+    zero = jnp.zeros((), size.dtype)
+    db = jax.lax.dynamic_update_slice(db, descs, (size, zero, zero))
+    dbv = jax.lax.dynamic_update_slice(dbv, valids, (size, zero))
+    return db, dbv
 
 
 def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
@@ -374,9 +440,13 @@ class PoseGraph:
         self.ric = np.asarray(ric)
         self.tic = np.asarray(tic)
         self.keyframes: list = []  # KeyFrameData
-        # retrieval DB: preallocated doubling buffer (per-keyframe
-        # np.concatenate would move O(K²) bytes over a run)
-        self._db_buf: Optional[np.ndarray] = None  # (cap, max_kp, 256) int8
+        # retrieval DB: PERSISTENT DEVICE buffer (doubling capacity).  Each
+        # append uploads one keyframe's descriptors; each query uploads only
+        # the query descriptors — O(1) host→device traffic per keyframe
+        # regardless of map size (the round-2 design re-uploaded the whole
+        # DB every query, ~25 MB at 512 keyframes).
+        self._dev_db: Optional[jax.Array] = None  # (cap, max_kp, 256) int8
+        self._dev_valid: Optional[jax.Array] = None  # (cap, max_kp) bool
         self._db_size = 0
         self.loops: list = []  # dict(cur, old, rel_t, rel_yaw)
         self.earliest_loop_index: Optional[int] = None
@@ -401,31 +471,81 @@ class PoseGraph:
     # ------------------------------------------------------------------
     @property
     def desc_db(self) -> Optional[np.ndarray]:
-        """View of the filled part of the retrieval DB (K, max_kp, 256)."""
-        if self._db_buf is None or self._db_size == 0:
+        """Host copy of the filled part of the retrieval DB (K, max_kp, 256)
+        — diagnostic/test accessor; queries never materialize this."""
+        if self._dev_db is None or self._db_size == 0:
             return None
-        return self._db_buf[: self._db_size]
+        return np.asarray(self._dev_db[: self._db_size])
 
-    def _db_append(self, desc: np.ndarray):
-        if self._db_buf is None or self._db_size == self._db_buf.shape[0]:
-            cap = 64 if self._db_buf is None else self._db_buf.shape[0] * 2
-            buf = np.zeros((cap,) + desc.shape, desc.dtype)
-            if self._db_buf is not None:
-                buf[: self._db_size] = self._db_buf[: self._db_size]
-            self._db_buf = buf
-        self._db_buf[self._db_size] = desc
+    def _ensure_capacity(self, n_needed: int, like_shape):
+        """Grow the device DB (doubling) so ``n_needed`` slots exist."""
+        n_needed = min(n_needed, self.cfg.max_keyframes)
+        cap_now = 0 if self._dev_db is None else self._dev_db.shape[0]
+        if n_needed <= cap_now:
+            return
+        cap = max(64, cap_now)
+        while cap < n_needed:
+            cap *= 2
+        cap = min(cap, self.cfg.max_keyframes)
+        db = jnp.zeros((cap,) + tuple(like_shape), jnp.int8)
+        dbv = jnp.zeros((cap, like_shape[0]), bool)
+        if self._dev_db is not None:
+            n = self._db_size
+            db = db.at[:n].set(self._dev_db[:n])
+            dbv = dbv.at[:n].set(self._dev_valid[:n])
+        self._dev_db, self._dev_valid = db, dbv
+
+    def _db_append(self, desc: np.ndarray, valid: Optional[np.ndarray] = None):
+        if self._db_size >= self.cfg.max_keyframes:
+            return  # storage cap: map stops growing (reference has no cap;
+            # ours is HBM-bounded and 8× the old practical limit)
+        desc = np.asarray(desc, np.int8)
+        if valid is None:
+            valid = np.any(desc != 0, axis=-1)
+        self._ensure_capacity(self._db_size + 1, desc.shape)
+        self._dev_db, self._dev_valid = _db_update(
+            self._dev_db, self._dev_valid, jnp.asarray(desc),
+            jnp.asarray(valid), jnp.asarray(self._db_size, jnp.int32))
         self._db_size += 1
+
+    def _db_append_block(self, descs: np.ndarray, valids: np.ndarray):
+        """Append K keyframes in ONE dispatch (segment-deferred appends)."""
+        descs = np.asarray(descs, np.int8)
+        valids = np.asarray(valids, bool)
+        k = min(descs.shape[0], self.cfg.max_keyframes - self._db_size)
+        if k <= 0:
+            return
+        descs, valids = descs[:k], valids[:k]
+        self._ensure_capacity(self._db_size + k, descs.shape[1:])
+        self._dev_db, self._dev_valid = _db_update_block(
+            self._dev_db, self._dev_valid, jnp.asarray(descs),
+            jnp.asarray(valids), jnp.asarray(self._db_size, jnp.int32))
+        self._db_size += k
+
+    def detect_scores_batch(self, descs: np.ndarray,
+                            valids: np.ndarray) -> Optional[np.ndarray]:
+        """Raw retrieval scores for K query keyframes against the current
+        device DB in one dispatch — (K, cap), unmasked.  None if the DB is
+        empty.  Callers apply the per-query recency mask (scores beyond the
+        query's ``n_old`` horizon) on host."""
+        if self._dev_db is None or self._db_size == 0:
+            return None
+        return np.asarray(_db_query_multi(
+            self._dev_db, self._dev_valid,
+            jnp.asarray(np.asarray(descs, np.int8)),
+            jnp.asarray(np.asarray(valids, bool)),
+            float(self.cfg.score_dist)))
 
     # ------------------------------------------------------------------
     def _r_drift(self) -> np.ndarray:
-        return np.asarray(quat.yaw_R(jnp.asarray(self.yaw_drift)))
+        return nq.yaw_R(self.yaw_drift)
 
     def apply_drift(self, P: np.ndarray, Q: np.ndarray):
         """Correct a live VIO pose by the current drift (the nodelet's
         odometry correction path, pose_graph_nodelet.cpp:358-434)."""
         R = self._r_drift()
         P2 = R @ np.asarray(P) + self.t_drift
-        Q2 = np.asarray(quat.qmul(quat.R2q(jnp.asarray(R)), jnp.asarray(Q)))
+        Q2 = nq.qmul(nq.R2q(R), np.asarray(Q))
         return P2, Q2
 
     def new_sequence(self):
@@ -448,29 +568,52 @@ class PoseGraph:
         """Build a keyframe, query for loops, optionally optimize.
 
         Returns loop info dict if a loop was accepted."""
+        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = extract_keyframe_features(
+            self.cfg, self.cam, jnp.asarray(img), wp_world, wp_uv, wp_valid
+        )
+        return self.add_keyframe_extracted(
+            t, P_vio, Q_vio, wp_world, wp_norm, wp_valid,
+            kp_uv, kp_norm, kp_valid, kp_desc, wp_desc,
+            detect_loop=detect_loop,
+        )
+
+    def add_keyframe_extracted(
+        self, t: float, P_vio, Q_vio, wp_world, wp_norm, wp_valid,
+        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc,
+        detect_loop: bool = True,
+        scores: Optional[np.ndarray] = None,
+        append_db: bool = True,
+    ) -> Optional[dict]:
+        """``add_keyframe`` with features already extracted (the batched
+        loop closer extracts every keyframe of a scan segment in one
+        dispatch, ``make_batch_extractor``).
+
+        ``scores``: optional precomputed raw retrieval scores over the DB
+        (from ``detect_scores_batch``); otherwise queried here.
+        ``append_db=False`` defers the descriptor-DB append to the caller
+        (``_db_append_block`` at segment end)."""
         cfg = self.cfg
         idx = len(self.keyframes)
         # map the incoming vio pose (and its landmarks) into the map frame
         # via the sequence alignment (pose_graph.cpp:67-70)
         P_vio = self.w_r_vio @ np.asarray(P_vio) + self.w_t_vio
-        Q_vio = np.asarray(quat.qmul(quat.R2q(jnp.asarray(self.w_r_vio)),
-                                     jnp.asarray(Q_vio)))
+        Q_vio = nq.qmul(nq.R2q(self.w_r_vio), np.asarray(Q_vio))
         wp_world = np.asarray(wp_world) @ self.w_r_vio.T + self.w_t_vio
-        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = extract_keyframe_features(
-            cfg, self.cam, jnp.asarray(img), wp_world, wp_uv, wp_valid
-        )
         kf = KeyFrameData(
             index=idx, t=t, sequence=self.sequence,
             P_vio=np.asarray(P_vio), Q_vio=np.asarray(Q_vio),
-            kp_uv=kp_uv, kp_norm=kp_norm, kp_valid=kp_valid,
-            kp_desc=kp_desc,
+            kp_uv=np.asarray(kp_uv), kp_norm=np.asarray(kp_norm),
+            kp_valid=np.asarray(kp_valid), kp_desc=np.asarray(kp_desc),
             wp_world=np.asarray(wp_world), wp_norm=np.asarray(wp_norm),
-            wp_valid=np.asarray(wp_valid), wp_desc=wp_desc,
+            wp_valid=np.asarray(wp_valid), wp_desc=np.asarray(wp_desc),
         )
 
         loop_info = None
         if detect_loop and len(self.keyframes) > 0:
-            cand = self._detect_loop(kf)
+            if scores is not None:
+                cand = self._detect_from_scores(np.asarray(scores), idx)
+            else:
+                cand = self._detect_loop(kf)
             if cand is not None:
                 loop_info = self._find_connection(kf, self.keyframes[cand])
                 if loop_info is not None:
@@ -482,7 +625,8 @@ class PoseGraph:
                         kf = self._align_sequence(kf, old_kf, loop_info)
                     self.loops.append(loop_info)
         self.keyframes.append(kf)
-        self._db_append(kf.kp_desc)
+        if append_db:
+            self._db_append(kf.kp_desc, kf.kp_valid)
         if loop_info is not None:
             self.optimize()
         else:
@@ -498,17 +642,16 @@ class PoseGraph:
         from the loop-implied pose vs the vio pose, fold it into
         (w_r_vio, w_t_vio), and re-map every stored keyframe of this
         sequence.  Returns the re-mapped current keyframe."""
-        R_old = np.asarray(quat.q2R(jnp.asarray(old_kf.Q_vio)))
+        R_old = nq.q2R(old_kf.Q_vio)
         w_P_cur = R_old @ loop_info["rel_t"] + old_kf.P_vio
-        R_rel = np.asarray(quat.q2R(jnp.asarray(loop_info["rel_q"])))
+        R_rel = nq.q2R(loop_info["rel_q"])
         w_R_cur = R_old @ R_rel
-        R_vio = np.asarray(quat.q2R(jnp.asarray(kf.Q_vio)))
+        R_vio = nq.q2R(kf.Q_vio)
         if self.cfg.use_6dof:
             shift_r = w_R_cur @ R_vio.T
         else:  # IMU: yaw-only observable shift
-            yw = float(np.asarray(quat.R2ypr(jnp.asarray(w_R_cur)))[0]
-                       - np.asarray(quat.R2ypr(jnp.asarray(R_vio)))[0])
-            shift_r = np.asarray(quat.yaw_R(jnp.asarray(yw)))
+            yw = float(nq.R2ypr(w_R_cur)[0] - nq.R2ypr(R_vio)[0])
+            shift_r = nq.yaw_R(yw)
         shift_t = w_P_cur - w_R_cur @ R_vio.T @ kf.P_vio
 
         self.w_r_vio = shift_r @ self.w_r_vio
@@ -517,8 +660,7 @@ class PoseGraph:
 
         def remap(k: KeyFrameData) -> KeyFrameData:
             P2 = shift_r @ k.P_vio + shift_t
-            Q2 = np.asarray(quat.qmul(quat.R2q(jnp.asarray(shift_r)),
-                                      jnp.asarray(k.Q_vio)))
+            Q2 = nq.qmul(nq.R2q(shift_r), k.Q_vio)
             wp2 = k.wp_world @ shift_r.T + shift_t
             return k._replace(P_vio=P2, Q_vio=Q2, wp_world=wp2)
 
@@ -552,14 +694,12 @@ class PoseGraph:
         old_kf = self.keyframes[lp["old"]]
         w_P_old, w_Q_old = self.corrected.get(
             old_kf.index, (old_kf.P_vio, old_kf.Q_vio))
-        w_R_old = np.asarray(quat.q2R(jnp.asarray(w_Q_old)))
+        w_R_old = nq.q2R(w_Q_old)
         w_P_cur = w_R_old @ rel_t + w_P_old
-        w_R_cur = w_R_old @ np.asarray(quat.q2R(jnp.asarray(rel_q)))
-        R_vio = np.asarray(quat.q2R(jnp.asarray(kf.Q_vio)))
-        shift_yaw = float(np.asarray(quat.R2ypr(jnp.asarray(w_R_cur)))[0]
-                          - np.asarray(quat.R2ypr(jnp.asarray(R_vio)))[0])
-        self.yaw_drift = float(np.asarray(quat.normalize_angle_deg(
-            jnp.asarray(shift_yaw))))
+        w_R_cur = w_R_old @ nq.q2R(rel_q)
+        R_vio = nq.q2R(kf.Q_vio)
+        shift_yaw = float(nq.R2ypr(w_R_cur)[0] - nq.R2ypr(R_vio)[0])
+        self.yaw_drift = float(nq.normalize_angle_deg(shift_yaw))
         # reference: shift_t = w_P_cur − w_R_cur · vio_R_curᵀ · vio_P_cur
         self.t_drift = w_P_cur - w_R_cur @ R_vio.T @ kf.P_vio
 
@@ -567,25 +707,34 @@ class PoseGraph:
     def _detect_loop(self, kf: KeyFrameData) -> Optional[int]:
         """Brute-force descriptor-set retrieval with the reference's
         shape: exclude recent 50, double-threshold acceptance, earliest
-        candidate wins (``detectLoop``)."""
+        candidate wins (``detectLoop``).  The DB lives on-device; this
+        uploads only the ~48 KB query (O(1) per query regardless of map
+        size — the TPU answer to DBoW2's sub-linear inverted index)."""
         cfg = self.cfg
         n_old = len(self.keyframes) - self.cfg.recency_exclusion
+        if n_old <= 0 or self._dev_db is None:
+            return None
+        scores = np.asarray(_db_query(
+            self._dev_db, self._dev_valid,
+            jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
+            jnp.asarray(min(n_old, self._db_size), jnp.int32),
+            float(cfg.score_dist)))
+        return self._accept_from_scores(scores)
+
+    def _detect_from_scores(self, scores: np.ndarray,
+                            query_index: int) -> Optional[int]:
+        """Host half of ``_detect_loop`` when raw scores were computed in a
+        batched query: apply this query's recency horizon, then the same
+        double-threshold acceptance."""
+        n_old = min(query_index - self.cfg.recency_exclusion, self._db_size)
         if n_old <= 0:
             return None
-        db = jnp.asarray(self.desc_db[:n_old])  # (K, max_kp, 256)
-        q = jnp.asarray(kf.kp_desc)
+        scores = scores.copy()
+        scores[n_old:] = -1.0
+        return self._accept_from_scores(scores)
 
-        D = brief.hamming_matrix(q, db.reshape(-1, brief.N_BITS))
-        D = D.reshape(q.shape[0], n_old, -1)
-        q_valid = jnp.asarray(kf.kp_valid)
-        minham = jnp.min(
-            jnp.where(jnp.any(jnp.asarray(self.desc_db[:n_old]) != 0, axis=-1)[None],
-                      D, jnp.inf),
-            axis=2,
-        )  # (Nq, K)
-        hits = (minham < cfg.score_dist) & q_valid[:, None]
-        scores = np.asarray(jnp.sum(hits, axis=0) / jnp.maximum(jnp.sum(q_valid), 1))
-
+    def _accept_from_scores(self, scores: np.ndarray) -> Optional[int]:
+        cfg = self.cfg
         order = np.argsort(-scores)
         best = order[0]
         if scores[best] < cfg.score_best:
@@ -613,7 +762,7 @@ class PoseGraph:
         matched_old_norm = old.kp_norm[np.asarray(idx_b)]
         # initial guess: the old keyframe's VIO pose (world -> old cam), as
         # the reference seeds its iterative PnP (keyframe.cpp:226-240)
-        R_wi = np.asarray(quat.q2R(jnp.asarray(old.Q_vio)))
+        R_wi = nq.q2R(old.Q_vio)
         R_wc = R_wi @ self.ric
         t_wc = old.P_vio + R_wi @ self.tic
         R_init = R_wc.T
@@ -638,14 +787,12 @@ class PoseGraph:
         t_w_oldimu = t_w_oldcam - R_w_oldimu @ self.tic
         # relative pose old->cur in old frame (keyframe.cpp:483-495)
         rel_t = R_w_oldimu.T @ (cur.P_vio - t_w_oldimu)
-        yaw_cur = float(np.asarray(quat.R2ypr(quat.q2R(jnp.asarray(cur.Q_vio))))[0])
-        yaw_old = float(np.asarray(quat.R2ypr(jnp.asarray(R_w_oldimu)))[0])
-        rel_yaw = float(np.asarray(quat.normalize_angle_deg(
-            jnp.asarray(yaw_cur - yaw_old))))
+        yaw_cur = float(nq.R2ypr(nq.q2R(cur.Q_vio))[0])
+        yaw_old = float(nq.R2ypr(R_w_oldimu)[0])
+        rel_yaw = float(nq.normalize_angle_deg(yaw_cur - yaw_old))
         if abs(rel_yaw) >= LOOP_YAW_MAX or np.linalg.norm(rel_t) >= LOOP_T_MAX:
             return None
-        rel_q = np.asarray(quat.qmul(
-            quat.qconj(quat.R2q(jnp.asarray(R_w_oldimu))), jnp.asarray(cur.Q_vio)))
+        rel_q = nq.qmul(nq.qconj(nq.R2q(R_w_oldimu)), np.asarray(cur.Q_vio))
         return dict(
             cur=cur.index, old=old.index,
             rel_t=rel_t, rel_yaw=rel_yaw, rel_q=rel_q,
@@ -655,83 +802,126 @@ class PoseGraph:
         )
 
     # ------------------------------------------------------------------
+    def _select_nodes(self):
+        """Node selection for PGO.  The reference optimizes every keyframe
+        from ``earliest_loop_index`` (``pose_graph.cpp:430-436``); our dense
+        LM is O(K²) memory, so past ``max_pgo_nodes`` the graph becomes a
+        sliding window: the last ``max_pgo_nodes`` keyframes are free, loop
+        edges reaching before the window bring their old keyframe in as a
+        FIXED anchor at its corrected pose, and the window start anchors the
+        gauge.  Returns (nodes, local, n_anchors, first)."""
+        cfg = self.cfg
+        first = self.earliest_loop_index
+        last = self.keyframes[-1].index
+        win_start = max(first, last - cfg.max_pgo_nodes + 1)
+        window = self.keyframes[win_start: last + 1]
+        anchor_idx = sorted({lp["old"] for lp in self.loops
+                             if lp["cur"] >= win_start
+                             and first <= lp["old"] < win_start})
+        anchors = [self.keyframes[i] for i in anchor_idx]
+        nodes = anchors + list(window)
+        local = {kf.index: li for li, kf in enumerate(nodes)}
+        return nodes, local, len(anchors), first, win_start
+
+    def _node_init(self, kf: KeyFrameData):
+        """Initial (P, Q) for a PGO node: the best known corrected pose (a
+        warm start; for the first optimization this equals the VIO pose)."""
+        return self.corrected.get(kf.index, (kf.P_vio, kf.Q_vio))
+
+    @staticmethod
+    def _pad(n: int) -> int:
+        """Round node/edge counts up to a power of two so the jitted LM
+        programs compile O(log K) times over a run, not O(K) times."""
+        p = 8
+        while p < n:
+            p *= 2
+        return p
+
     def optimize(self):
         """4-DoF PGO from the earliest looped frame (``optimize4DoF``),
         then drift update + propagation to later keyframes."""
         if self.earliest_loop_index is None or not self.loops:
             return
         cfg = self.cfg
-        first = self.earliest_loop_index
-        kfs = [k for k in self.keyframes if k.index >= first]
-        K = len(kfs)
+        nodes, local, n_anchors, first, win_start = self._select_nodes()
+        K = len(nodes)
         if K < 2:
             return
-        Kpad = min(max(K, 8), cfg.max_keyframes)
-        # node arrays
+        Kpad = self._pad(K)
+        # node arrays: yaw/t initialized from corrected poses (warm start /
+        # consistency with fixed anchors); pitch/roll fixed from VIO (the
+        # 4-DoF observability split — drift is yaw-only so they coincide)
         yaw = np.zeros(Kpad)
         tt = np.zeros((Kpad, 3))
         pitch = np.zeros(Kpad)
         roll = np.zeros(Kpad)
         valid = np.zeros(Kpad, bool)
         fixed = np.zeros(Kpad, bool)
-        local = {}
-        for li, kf in enumerate(kfs[:Kpad]):
-            ypr = np.asarray(quat.R2ypr(quat.q2R(jnp.asarray(kf.Q_vio))))
-            yaw[li], pitch[li], roll[li] = ypr
-            tt[li] = kf.P_vio
+        vio_yaw = np.zeros(Kpad)
+        for li, kf in enumerate(nodes):
+            ypr_v = nq.R2ypr(nq.q2R(kf.Q_vio))
+            vio_yaw[li], pitch[li], roll[li] = ypr_v
+            P0, Q0 = self._node_init(kf)
+            yaw[li] = float(nq.R2ypr(nq.q2R(Q0))[0])
+            tt[li] = np.asarray(P0)
             valid[li] = True
-            fixed[li] = kf.index == first or kf.sequence == 0
-            local[kf.index] = li
+            fixed[li] = (li < n_anchors or kf.index == first
+                         or kf.index == win_start or kf.sequence == 0)
 
-        # sequential edges: i connects to up to 4 predecessors (same seq)
-        e_i, e_j, e_rt, e_ry, e_loop, e_val = [], [], [], [], [], []
-        for li in range(1, min(K, Kpad)):
+        # sequential edges: i connects to up to 4 predecessors (same seq),
+        # measurements ALWAYS from raw VIO relative poses (the odometry)
+        e_i, e_j, e_rt, e_ry, e_loop = [], [], [], [], []
+        for li in range(n_anchors + 1, K):
             for back in range(1, 5):
                 lj = li - back
-                if lj < 0 or kfs[lj].sequence != kfs[li].sequence:
+                if lj < n_anchors or nodes[lj].sequence != nodes[li].sequence:
                     continue
-                R_j = np.asarray(quat.q2R(jnp.asarray(kfs[lj].Q_vio)))
-                rel_t = R_j.T @ (tt[li] - tt[lj])
-                rel_yaw = yaw[li] - yaw[lj]
+                R_j = nq.q2R(nodes[lj].Q_vio)
+                rel_t = R_j.T @ (nodes[li].P_vio - nodes[lj].P_vio)
+                rel_yaw = vio_yaw[li] - vio_yaw[lj]
                 e_i.append(lj); e_j.append(li)
                 e_rt.append(rel_t); e_ry.append(rel_yaw)
-                e_loop.append(False); e_val.append(True)
+                e_loop.append(False)
         for lp in self.loops:
-            if lp["old"] < first or lp["cur"] not in local or lp["old"] not in local:
+            if lp["cur"] not in local or lp["old"] not in local:
                 continue
             e_i.append(local[lp["old"]]); e_j.append(local[lp["cur"]])
             e_rt.append(lp["rel_t"]); e_ry.append(lp["rel_yaw"])
-            e_loop.append(True); e_val.append(True)
+            e_loop.append(True)
 
         E = len(e_i)
         if E == 0:
             return
         if cfg.use_6dof:
-            self._optimize_6dof_impl(kfs, Kpad, K, tt, valid, fixed, local, first)
+            self._optimize_6dof_impl(nodes, Kpad, valid, fixed, local)
             return
+        Epad = self._pad(E)
+        ei = np.zeros(Epad, np.int32); ei[:E] = e_i
+        ej = np.zeros(Epad, np.int32); ej[:E] = e_j
+        ert = np.zeros((Epad, 3)); ert[:E] = np.asarray(e_rt)
+        ery = np.zeros(Epad); ery[:E] = e_ry
+        elo = np.zeros(Epad, bool); elo[:E] = e_loop
+        evl = np.zeros(Epad, bool); evl[:E] = True
         yaw_o, t_o, c0, c1 = optimize_4dof(
             jnp.asarray(yaw), jnp.asarray(tt), jnp.asarray(pitch),
             jnp.asarray(roll), jnp.asarray(valid), jnp.asarray(fixed),
-            jnp.asarray(e_i, jnp.int32), jnp.asarray(e_j, jnp.int32),
-            jnp.asarray(np.asarray(e_rt)), jnp.asarray(e_ry),
-            jnp.ones(E), jnp.asarray(e_loop), jnp.asarray(e_val),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(ert), jnp.asarray(ery),
+            jnp.ones(Epad), jnp.asarray(elo), jnp.asarray(evl),
             n_nodes_static=Kpad, iters=cfg.pg_iters, huber=cfg.huber,
         )
         yaw_o = np.asarray(yaw_o)
         t_o = np.asarray(t_o)
 
-        # write back corrected poses
-        for li, kf in enumerate(kfs[:Kpad]):
-            R = np.asarray(quat.ypr2R(jnp.asarray([yaw_o[li], pitch[li], roll[li]])))
-            self.corrected[kf.index] = (
-                t_o[li], np.asarray(quat.R2q(jnp.asarray(R)))
-            )
-        # drift from the last optimized keyframe (pose_graph.cpp:552-560)
-        cur_kf = kfs[min(K, Kpad) - 1]
-        li = min(K, Kpad) - 1
-        yaw_vio = yaw[li]
-        self.yaw_drift = float(np.asarray(quat.normalize_angle_deg(
-            jnp.asarray(yaw_o[li] - yaw_vio))))
+        # write back corrected poses (window nodes; anchors are fixed)
+        for li, kf in enumerate(nodes):
+            R = nq.ypr2R([yaw_o[li], pitch[li], roll[li]])
+            self.corrected[kf.index] = (t_o[li], nq.R2q(R))
+        # drift from the last optimized keyframe (pose_graph.cpp:552-560):
+        # corrected = r_drift · vio + t_drift, yaw-only
+        cur_kf = nodes[K - 1]
+        li = K - 1
+        self.yaw_drift = float(nq.normalize_angle_deg(yaw_o[li] - vio_yaw[li]))
         Rd = self._r_drift()
         self.t_drift = t_o[li] - Rd @ cur_kf.P_vio
         # propagate drift to keyframes after the optimized set
@@ -740,28 +930,36 @@ class PoseGraph:
                 self.corrected[kf.index] = self.apply_drift(kf.P_vio, kf.Q_vio)
 
     # ------------------------------------------------------------------
-    def _optimize_6dof_impl(self, kfs, Kpad, K, tt, valid, fixed, local, first):
+    def _optimize_6dof_impl(self, nodes, Kpad, valid, fixed, local):
         """Full-SE(3) pose graph for VO mode (``optimize6DoF``,
         pose_graph.cpp:583-750): quaternion nodes, RelativeRTError edges,
-        full rotational drift."""
+        full rotational drift.  Same windowed node selection as the 4-DoF
+        path (anchors fixed at corrected poses)."""
         cfg = self.cfg
+        K = len(nodes)
+        # init from corrected poses; edges from raw VIO odometry
+        tt = np.zeros((Kpad, 3))
         q0 = np.zeros((Kpad, 4))
         q0[:, 0] = 1.0
-        for li, kf in enumerate(kfs[:Kpad]):
-            q0[li] = kf.Q_vio
+        for li, kf in enumerate(nodes):
+            P0, Q0 = self._node_init(kf)
+            tt[li] = np.asarray(P0)
+            q0[li] = np.asarray(Q0)
         e_i, e_j, e_rt, e_rq, e_loop = [], [], [], [], []
-        for li in range(1, min(K, Kpad)):
+        for li in range(1, K):
             for back in range(1, 5):
                 lj = li - back
-                if lj < 0 or kfs[lj].sequence != kfs[li].sequence:
+                if lj < 0 or nodes[lj].sequence != nodes[li].sequence:
                     continue
-                qj = jnp.asarray(q0[lj])
-                rel_t = np.asarray(quat.qrot_inv(qj, jnp.asarray(tt[li] - tt[lj])))
-                rel_q = np.asarray(quat.qmul(quat.qconj(qj), jnp.asarray(q0[li])))
+                if abs(nodes[li].index - nodes[lj].index) != li - lj:
+                    continue  # anchor nodes are not sequential neighbors
+                qj = np.asarray(nodes[lj].Q_vio)
+                rel_t = nq.q2R(qj).T @ (nodes[li].P_vio - nodes[lj].P_vio)
+                rel_q = nq.qmul(nq.qconj(qj), np.asarray(nodes[li].Q_vio))
                 e_i.append(lj); e_j.append(li)
                 e_rt.append(rel_t); e_rq.append(rel_q); e_loop.append(False)
         for lp in self.loops:
-            if lp["old"] < first or lp["cur"] not in local or lp["old"] not in local:
+            if lp["cur"] not in local or lp["old"] not in local:
                 continue
             if "rel_q" not in lp:
                 continue
@@ -770,26 +968,33 @@ class PoseGraph:
         E = len(e_i)
         if E == 0:
             return
+        Epad = self._pad(E)
+        ei = np.zeros(Epad, np.int32); ei[:E] = e_i
+        ej = np.zeros(Epad, np.int32); ej[:E] = e_j
+        ert = np.zeros((Epad, 3)); ert[:E] = np.asarray(e_rt)
+        erq = np.zeros((Epad, 4)); erq[:, 0] = 1.0; erq[:E] = np.asarray(e_rq)
+        elo = np.zeros(Epad, bool); elo[:E] = e_loop
+        evl = np.zeros(Epad, bool); evl[:E] = True
         t_o, q_o, c0, c1 = optimize_6dof(
             jnp.asarray(tt), jnp.asarray(q0),
             jnp.asarray(valid), jnp.asarray(fixed),
-            jnp.asarray(e_i, jnp.int32), jnp.asarray(e_j, jnp.int32),
-            jnp.asarray(np.asarray(e_rt)), jnp.asarray(np.asarray(e_rq)),
-            jnp.asarray(e_loop), jnp.ones(E, bool),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(ert), jnp.asarray(erq),
+            jnp.asarray(elo), jnp.asarray(evl),
             n_nodes_static=Kpad, iters=cfg.pg_iters, huber=cfg.huber,
         )
         t_o = np.asarray(t_o)
         q_o = np.asarray(q_o)
-        for li, kf in enumerate(kfs[:Kpad]):
+        for li, kf in enumerate(nodes):
             self.corrected[kf.index] = (t_o[li], q_o[li])
         # full rotational drift (pose_graph.cpp:718-731)
-        li = min(K, Kpad) - 1
-        cur_kf = kfs[li]
-        R_cur = np.asarray(quat.q2R(jnp.asarray(q_o[li])))
-        R_vio = np.asarray(quat.q2R(jnp.asarray(cur_kf.Q_vio)))
+        li = K - 1
+        cur_kf = nodes[li]
+        R_cur = nq.q2R(q_o[li])
+        R_vio = nq.q2R(cur_kf.Q_vio)
         Rd = R_cur @ R_vio.T
         # store as yaw-drift approximation for apply_drift plus exact t
-        self.yaw_drift = float(np.asarray(quat.R2ypr(jnp.asarray(Rd)))[0])
+        self.yaw_drift = float(nq.R2ypr(Rd)[0])
         self.t_drift = t_o[li] - self._r_drift() @ cur_kf.P_vio
         for kf in self.keyframes:
             if kf.index > cur_kf.index:
@@ -846,6 +1051,6 @@ class PoseGraph:
                 wp_desc=np.zeros((self.cfg.max_wp, 256), np.int8),
             )
             self.keyframes.append(kf)
-            self._db_append(kf.kp_desc.astype(np.int8))
+            self._db_append(kf.kp_desc.astype(np.int8), kf.kp_valid)
         self.yaw_drift = float(data["yaw_drift"])
         self.t_drift = np.asarray(data["t_drift"])

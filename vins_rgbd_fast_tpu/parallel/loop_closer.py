@@ -1,0 +1,152 @@
+"""Loop closure for the batched throughput path.
+
+The reference runs its pose graph CONCURRENTLY with the estimator — a second
+nodelet consuming keyframes over TCPROS (``pose_graph_nodelet.cpp:449-566``).
+The batched runner's TPU-native equivalent: the scanned per-frame program
+exports everything a keyframe needs (``ScanOutputs.wp_*``, poses, keyframe
+flags), and between scan segments this closer feeds per-sequence
+:class:`~vins_rgbd_fast_tpu.loop.pose_graph.PoseGraph` instances from those
+outputs with BOUNDED host work:
+
+  * ONE batched feature-extraction dispatch for every keyframe of every
+    sequence in the segment (``make_batch_extractor``);
+  * ONE retrieval-scoring dispatch per sequence (``detect_scores_batch``
+    against that sequence's device-resident descriptor DB);
+  * ONE deferred block append per sequence (``_db_append_block``).
+
+Exactness: deferring DB appends to segment end is *identical* to sequential
+processing as long as a segment contributes fewer keyframes per sequence
+than the recency exclusion (50) — a query only ever sees keyframes ≥50
+older, which are all pre-segment.  Longer segments clamp the detection
+horizon at the segment start (strictly conservative: never a false loop).
+
+Unlike the latency pipeline, the fast-relocalization feedback (loop →
+estimator relo factors) is NOT wired into the scanned program: the scan has
+already consumed its frames by the time loops are found.  Corrections apply
+as per-sequence drift on the pose-graph path — the reference's behavior
+with ``fast_relocalization: 0``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..loop.pose_graph import PoseGraph, PoseGraphConfig, make_batch_extractor
+from ..models.camera import CameraModel
+from .batched_pipeline import FrameBatch, ScanOutputs
+
+
+def _pad_pow2(n: int, lo: int = 4) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class BatchedLoopCloser:
+    """Per-sequence pose graphs fed from batched scan segments."""
+
+    def __init__(self, cam: CameraModel, ric: np.ndarray, tic: np.ndarray,
+                 batch: int, pg_cfg: Optional[PoseGraphConfig] = None,
+                 skip_cnt: int = 0, skip_dis: float = 0.0):
+        self.cfg = pg_cfg or PoseGraphConfig()
+        self.graphs: List[PoseGraph] = [
+            PoseGraph(self.cfg, cam, ric, tic) for _ in range(batch)]
+        self._extract = make_batch_extractor(self.cfg, cam)
+        self.skip_cnt = skip_cnt
+        self.skip_dis = skip_dis
+        self._skip_count = [0] * batch
+        self._travel_anchor: List[Optional[np.ndarray]] = [None] * batch
+        self.n_keyframes = 0
+        self.n_loops = 0
+
+    # ------------------------------------------------------------------
+    def _gate(self, b: int, is_kf: bool, P: np.ndarray) -> bool:
+        """Keyframe admission: skip-count + travel-distance gates
+        (``pose_graph_nodelet.cpp:501,522``)."""
+        if not is_kf:
+            return False
+        if self.skip_cnt > 0:
+            self._skip_count[b] += 1
+            if self._skip_count[b] < self.skip_cnt:
+                return False
+            self._skip_count[b] = 0
+        if (self._travel_anchor[b] is not None and self.skip_dis > 0
+                and np.linalg.norm(P - self._travel_anchor[b]) < self.skip_dis):
+            return False
+        self._travel_anchor[b] = P
+        return True
+
+    # ------------------------------------------------------------------
+    def consume(self, batch: FrameBatch, outs: ScanOutputs) -> dict:
+        """Feed one scan segment's keyframes to the per-sequence graphs.
+
+        ``outs`` may be device or host; fetched once here."""
+        host = jax.device_get(outs)
+        ts = np.asarray(jax.device_get(batch.ts))
+        T, B = ts.shape
+
+        sel = []  # (k, b) in frame order
+        for b in range(B):
+            for k in range(T):
+                if self._gate(b, bool(host.is_keyframe[k, b]),
+                              np.asarray(host.P[k, b])):
+                    sel.append((k, b))
+        if not sel:
+            return dict(n_keyframes=0, n_loops=0)
+        K = len(sel)
+        Kp = _pad_pow2(K)
+        ks = np.asarray([s[0] for s in sel] + [0] * (Kp - K))
+        bs = np.asarray([s[1] for s in sel] + [0] * (Kp - K))
+
+        # one gather + one extraction dispatch for the whole segment
+        imgs = jnp.asarray(batch.imgs)[ks, bs]
+        wp_uv = jnp.asarray(np.asarray(host.wp_uv)[ks, bs])
+        wp_valid = jnp.asarray(np.asarray(host.wp_valid)[ks, bs])
+        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = (
+            np.asarray(o) for o in self._extract(imgs, wp_uv, wp_valid))
+
+        # one retrieval-scoring dispatch per sequence
+        by_seq: dict = {}
+        for i in range(K):
+            by_seq.setdefault(int(bs[i]), []).append(i)
+        scores: dict = {}
+        for b, idxs in by_seq.items():
+            s = self.graphs[b].detect_scores_batch(
+                kp_desc[idxs], kp_valid[idxs])
+            scores[b] = {i: (None if s is None else s[j])
+                         for j, i in enumerate(idxs)}
+
+        # sequential host processing (cheap: poses + thresholds; PnP only on
+        # retrieval hits), then ONE deferred DB append per sequence
+        n_loops = 0
+        pend: dict = {}
+        for i in range(K):
+            k, b = int(ks[i]), int(bs[i])
+            g = self.graphs[b]
+            info = g.add_keyframe_extracted(
+                float(ts[k, b]),
+                np.asarray(host.P[k, b]), np.asarray(host.Q[k, b]),
+                np.asarray(host.wp_world[k, b]), np.asarray(host.wp_norm[k, b]),
+                np.asarray(host.wp_valid[k, b]),
+                kp_uv[i], kp_norm[i], kp_valid[i], kp_desc[i], wp_desc[i],
+                scores=scores[b][i], append_db=False,
+            )
+            pend.setdefault(b, []).append(i)
+            if info is not None:
+                n_loops += 1
+        for b, idxs in pend.items():
+            self.graphs[b]._db_append_block(kp_desc[idxs], kp_valid[idxs])
+
+        self.n_keyframes += K
+        self.n_loops += n_loops
+        return dict(n_keyframes=K, n_loops=n_loops)
+
+    # ------------------------------------------------------------------
+    def corrected_path(self, b: int) -> list:
+        """Loop-corrected keyframe trajectory [(t, P, Q)] of sequence b."""
+        return self.graphs[b].path()

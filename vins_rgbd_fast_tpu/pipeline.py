@@ -293,17 +293,18 @@ class VinsPipeline:
             return
         kf_index = self._relo_sent_kf
         self._relo_sent_kf = None
+        from .utils import quaternion_np as nq
+
         P_relo = np.asarray(out["relo_P"], np.float64)
-        Q_relo = jnp.asarray(out["relo_Q"])
+        Q_relo = np.asarray(out["relo_Q"], np.float64)
         P_cur = np.asarray(out["relo_cur_P"], np.float64)
-        Q_cur = jnp.asarray(out["relo_cur_Q"])
-        R_relo = np.asarray(quat.q2R(Q_relo))
+        Q_cur = np.asarray(out["relo_cur_Q"], np.float64)
+        R_relo = nq.q2R(Q_relo)
         rel_t = R_relo.T @ (P_cur - P_relo)
-        rel_q = np.asarray(quat.qmul(quat.qconj(Q_relo), Q_cur))
-        yaw_cur = float(np.asarray(quat.R2ypr(quat.q2R(Q_cur)))[0])
-        yaw_relo = float(np.asarray(quat.R2ypr(jnp.asarray(R_relo)))[0])
-        rel_yaw = float(np.asarray(quat.normalize_angle_deg(
-            jnp.asarray(yaw_cur - yaw_relo))))
+        rel_q = nq.qmul(nq.qconj(Q_relo), Q_cur)
+        yaw_cur = float(nq.R2ypr(nq.q2R(Q_cur))[0])
+        yaw_relo = float(nq.R2ypr(R_relo)[0])
+        rel_yaw = float(nq.normalize_angle_deg(yaw_cur - yaw_relo))
         self.pose_graph.update_keyframe_loop(kf_index, rel_t, rel_q, rel_yaw)
 
     # ------------------------------------------------------------------
