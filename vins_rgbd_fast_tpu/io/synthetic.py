@@ -84,6 +84,20 @@ class SyntheticRig:
 def render_frame(rig: SyntheticRig, P_w: jax.Array, q_wc: jax.Array):
     """Render grayscale + depth for camera pose (position, world-from-cam
     quaternion).  Returns (image (H,W) f32 0..255, depth (H,W) f32 m)."""
+    return _render_core(rig, P_w, q_wc,
+                        jnp.zeros(3, jnp.float32), jnp.float32(0.0))
+
+
+@partial(jax.jit, static_argnames=("rig",))
+def render_frame_dynamic(rig: SyntheticRig, P_w: jax.Array, q_wc: jax.Array,
+                         dyn_center: jax.Array, dyn_radius: jax.Array):
+    """``render_frame`` plus a moving textured sphere (radius ≤ 0 disables)
+    — the scene-level stressor for ``movingConsistencyCheck``-style dynamic
+    -point rejection (the reference motivates it at estimator.cpp:1965-2008)."""
+    return _render_core(rig, P_w, q_wc, dyn_center, dyn_radius)
+
+
+def _render_core(rig: SyntheticRig, P_w, q_wc, dyn_center, dyn_radius):
     H, W = rig.height, rig.width
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
@@ -106,9 +120,122 @@ def render_frame(rig: SyntheticRig, P_w: jax.Array, q_wc: jax.Array):
         ok = (t > 0.05) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
         best_i = jnp.where(ok, tex, best_i)
+    # moving sphere: ray-sphere intersection, textured by surface normal
+    # (|d_w| is not normalized: solve ‖P + t·d − c‖ = r in the scaled t)
+    oc = P_w - dyn_center
+    a = jnp.sum(d_w * d_w, axis=-1)
+    bq = 2.0 * jnp.einsum("hwi,i->hw", d_w, oc)
+    cq = jnp.dot(oc, oc) - dyn_radius * dyn_radius
+    disc = bq * bq - 4.0 * a * cq
+    t_s = (-bq - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a)
+    hit_s = P_w[None, None, :] + t_s[..., None] * d_w
+    nrm = (hit_s - dyn_center) / jnp.maximum(dyn_radius, 1e-6)
+    tex_s = 128.0 + 70.0 * jnp.tanh(3.0 * jnp.sin(9.0 * nrm[..., 0]) *
+                                    jnp.sin(9.0 * nrm[..., 1]) +
+                                    2.0 * jnp.sin(7.0 * nrm[..., 2]))
+    ok_s = (dyn_radius > 0) & (disc > 0) & (t_s > 0.05) & (t_s < best_t)
+    best_t = jnp.where(ok_s, t_s, best_t)
+    best_i = jnp.where(ok_s, tex_s, best_i)
     depth = jnp.where(best_t < 1e8, best_t, 0.0)
     img = jnp.clip(best_i, 0.0, 255.0)
     return img, depth
+
+
+# ---------------------------------------------------------------------------
+# Sensor degradation (real-failure-mode realism for the synthetic bench)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorDegradation:
+    """Models the D435i failure modes the reference's robustness machinery
+    exists for (depth fallbacks in triangulateWithDepth, dynamic-point
+    rejection, CLAHE against exposure): quadratic-in-z depth noise, block
+    dropouts + edge holes, exposure drift, image read noise, a rolling-
+    shutter shear, and a moving sphere in the scene."""
+
+    depth_sigma: float = 0.0   # σ(z) = depth_sigma · z² (m), D435i-like
+    hole_p: float = 0.0        # per 16×16 block dropout probability
+    edge_hole: bool = False    # zero depth at depth discontinuities
+    exposure_amp: float = 0.0  # gain oscillation amplitude (e.g. 0.25)
+    exposure_period: float = 4.0  # s
+    read_noise: float = 0.0    # grayscale σ
+    rs_shear_px: float = 0.0   # max horizontal shift across the frame height
+    dyn_radius: float = 0.0    # moving sphere radius (m); 0 = off
+    dyn_orbit: float = 2.0     # sphere orbit radius around room center (m)
+    dyn_omega: float = 0.8     # sphere angular rate (rad/s)
+
+
+@partial(jax.jit, static_argnames=("rig", "deg"))
+def degrade_frame(rig: SyntheticRig, deg: SensorDegradation,
+                  img: jax.Array, depth: jax.Array, key: jax.Array,
+                  t: jax.Array):
+    """Apply the configured degradations to one rendered frame."""
+    H, W = rig.height, rig.width
+    k1, k2, k3 = jax.random.split(key, 3)
+    # exposure drift (CLAHE in the tracker must absorb this)
+    if deg.exposure_amp > 0:
+        gain = 1.0 + deg.exposure_amp * jnp.sin(
+            2 * jnp.pi * t / deg.exposure_period)
+        img = img * gain
+    if deg.read_noise > 0:
+        img = img + deg.read_noise * jax.random.normal(k1, img.shape)
+    if deg.rs_shear_px > 0:
+        # rolling-shutter approximation: per-row horizontal shift growing
+        # down the frame (linear in readout time), linear interp
+        rows = jnp.arange(H, dtype=jnp.float32)
+        shift = deg.rs_shear_px * (rows / H - 0.5)
+        x = jnp.arange(W, dtype=jnp.float32)[None, :] - shift[:, None]
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        fx = x - x0
+        img = (jnp.take_along_axis(img, x0, axis=1) * (1 - fx)
+               + jnp.take_along_axis(img, x0 + 1, axis=1) * fx)
+    img = jnp.clip(img, 0.0, 255.0)
+    if deg.depth_sigma > 0:
+        depth = jnp.where(
+            depth > 0,
+            depth + deg.depth_sigma * depth * depth
+            * jax.random.normal(k2, depth.shape), depth)
+    if deg.hole_p > 0:
+        bh, bw = (H + 15) // 16, (W + 15) // 16
+        drop = jax.random.bernoulli(k3, deg.hole_p, (bh, bw))
+        drop = jnp.repeat(jnp.repeat(drop, 16, 0), 16, 1)[:H, :W]
+        depth = jnp.where(drop, 0.0, depth)
+    if deg.edge_hole:
+        gy = jnp.abs(jnp.diff(depth, axis=0, prepend=depth[:1]))
+        gx = jnp.abs(jnp.diff(depth, axis=1, prepend=depth[:, :1]))
+        depth = jnp.where((gy > 0.3) | (gx > 0.3), 0.0, depth)
+    return img, jnp.maximum(depth, 0.0)
+
+
+def dyn_sphere_center(deg: SensorDegradation, t: float) -> np.ndarray:
+    """The moving sphere's world position at time t (horizontal orbit)."""
+    th = deg.dyn_omega * float(t)
+    return np.array([deg.dyn_orbit * np.cos(th),
+                     deg.dyn_orbit * np.sin(th), 0.6])
+
+
+def frames_degraded(seq: SyntheticSequence, rig: SyntheticRig,
+                    deg: SensorDegradation, seed: int = 0
+                    ) -> Iterator[Tuple[float, jax.Array, jax.Array]]:
+    """Yield (t, image, depth) with scene + sensor degradations applied."""
+    key = jax.random.PRNGKey(seed)
+    for k in range(len(seq.times)):
+        t = float(seq.times[k])
+        t_wc, q_wc = camera_pose(seq, k)
+        if deg.dyn_radius > 0:
+            img, depth = render_frame_dynamic(
+                rig, jnp.asarray(t_wc, jnp.float32),
+                jnp.asarray(q_wc, jnp.float32),
+                jnp.asarray(dyn_sphere_center(deg, t), jnp.float32),
+                jnp.float32(deg.dyn_radius))
+        else:
+            img, depth = render_frame(rig, jnp.asarray(t_wc, jnp.float32),
+                                      jnp.asarray(q_wc, jnp.float32))
+        img, depth = degrade_frame(rig, deg, img, depth,
+                                   jax.random.fold_in(key, k),
+                                   jnp.float32(t))
+        yield t, img, depth
 
 
 # ---------------------------------------------------------------------------
@@ -130,10 +257,20 @@ def make_trajectory(
     n_frames: int, rig: SyntheticRig = SyntheticRig(), seed: int = 0,
     omega_scale: float = 0.25, acc_scale: float = 0.4,
     v0=(0.25, 0.1, 0.0),
+    diverge_seed=None, diverge_after: int = 0,
 ) -> SyntheticSequence:
     """Smooth random walk in body rates, exact closed-form integration per
-    frame interval; IMU sampled at rig.imu_rate with exact specific force."""
+    frame interval; IMU sampled at rig.imu_rate with exact specific force.
+
+    ``diverge_seed``/``diverge_after``: with the same base ``seed``, two
+    sequences share an IDENTICAL prefix through frame ``diverge_after`` and
+    then follow per-``diverge_seed`` random walks — lets multi-sequence
+    harnesses warm ONE pipeline on the common prefix and fan the state out
+    to lanes that genuinely diverge afterwards (used by the multichip
+    dryrun)."""
     rng = np.random.default_rng(seed)
+    rng2 = (np.random.default_rng((seed, diverge_seed))
+            if diverge_seed is not None else rng)
     T_per = 1.0 / rig.frame_rate
     n_sub = max(int(round(rig.imu_rate / rig.frame_rate)), 1)
 
@@ -146,8 +283,9 @@ def make_trajectory(
     w_b = rng.normal(size=3) * omega_scale
     a_w = rng.normal(size=3) * acc_scale
     for k in range(n_frames - 1):
-        w_b = 0.8 * w_b + 0.2 * rng.normal(size=3) * omega_scale
-        a_w = 0.8 * a_w + 0.2 * rng.normal(size=3) * acc_scale
+        r = rng2 if (diverge_seed is not None and k >= diverge_after) else rng
+        w_b = 0.8 * w_b + 0.2 * r.normal(size=3) * omega_scale
+        a_w = 0.8 * a_w + 0.2 * r.normal(size=3) * acc_scale
         # softly steer back toward the room center
         a_w = a_w - 0.08 * P[-1] - 0.15 * V[-1]
         P0, Q0, V0 = P[-1], Q[-1], V[-1]
