@@ -76,6 +76,35 @@ def test_projection_jacobian_fd():
         np.testing.assert_allclose(J[:, k], fd, atol=1e-4, rtol=1e-4)
 
 
+def test_projection_analytic_equals_autodiff():
+    """The closed-form Jacobian (the LM hot path) must match forward-mode
+    autodiff through the retraction to machine precision on generic random
+    states, including the td/rolling-shutter terms."""
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        Pi, Pj, tic = (jnp.asarray(rng.normal(0, 1, 3)) for _ in range(3))
+        Qi, Qj, qic = (quat.qnormalize(jnp.asarray(rng.normal(0, 1, 4)))
+                       for _ in range(3))
+        lam = jnp.asarray(rng.uniform(0.2, 2.0))
+        td = jnp.asarray(rng.normal(0, 0.01))
+        meas = factors.ProjMeas(
+            pts_i=jnp.asarray([*rng.uniform(-0.5, 0.5, 2), 1.0]),
+            pts_j=jnp.asarray([*rng.uniform(-0.5, 0.5, 2), 1.0]),
+            vel_i=jnp.asarray([*rng.normal(0, 0.5, 2), 0.0]),
+            vel_j=jnp.asarray([*rng.normal(0, 0.5, 2), 0.0]),
+            td_i=jnp.asarray(rng.normal(0, 0.01)),
+            td_j=jnp.asarray(rng.normal(0, 0.01)),
+            row_i=jnp.asarray(rng.uniform(0, 0.03)),
+            row_j=jnp.asarray(rng.uniform(0, 0.03)))
+        args = (Pi, Qi, Pj, Qj, tic, qic, lam, td, meas)
+        r_a, J_a = factors.projection_factor(*args)
+        r_d, J_d = factors.projection_factor_ad(*args)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_d),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(J_a), np.asarray(J_d),
+                                   atol=1e-9 * (1 + np.abs(J_d).max()))
+
+
 def test_projection_td_velocity_compensation():
     """Residual with td offset + matching velocity compensation must equal the
     residual at the uncompensated point (self-consistency of the td model)."""
@@ -105,6 +134,36 @@ def test_cauchy_weight():
     w_big = np.asarray(factors.cauchy_weight(r_big))
     assert w_small[0, 0] > 0.999
     assert w_big[0, 0] < 0.15
+
+
+def test_imu_analytic_equals_autodiff():
+    """Closed-form IMU Jacobian vs autodiff on generic random states with
+    LARGE bias deltas: residuals identical; Jacobians agree to first order
+    (the analytic form drops the same second-order bias/normalization terms
+    the reference's hand derivation does, imu_factor.h:73-202)."""
+    rng = np.random.default_rng(4)
+    n = 20
+    dt = np.full(n, 0.005)
+    accs = rng.normal(0, 1, (n + 1, 3)) + np.asarray([0, 0, 9.8])
+    gyrs = rng.normal(0, 0.3, (n + 1, 3))
+    pre = imupre.preintegrate(jnp.asarray(dt), jnp.asarray(accs),
+                              jnp.asarray(gyrs), jnp.zeros(3), jnp.zeros(3),
+                              NOISE)
+    for _ in range(8):
+        Pi, Vi, Pj, Vj = (jnp.asarray(rng.normal(0, 1, 3)) for _ in range(4))
+        Qi, Qj = (quat.qnormalize(jnp.asarray(rng.normal(0, 1, 4)))
+                  for _ in range(2))
+        Bai, Bgi, Baj, Bgj = (jnp.asarray(rng.normal(0, 0.05, 3))
+                              for _ in range(4))
+        args = (pre, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
+                jnp.asarray(G))
+        r_a, J_a = factors.imu_factor(*args)
+        r_d, J_d = factors.imu_factor_ad(*args)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_d),
+                                   atol=1e-10)
+        scale = 1 + np.abs(np.asarray(J_d)).max()
+        np.testing.assert_allclose(np.asarray(J_a) / scale,
+                                   np.asarray(J_d) / scale, atol=1e-4)
 
 
 def test_imu_factor_zero_residual_and_fd_jacobian():

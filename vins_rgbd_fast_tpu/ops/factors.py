@@ -82,13 +82,69 @@ def projection_residual_retracted(dx, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, m
     )
 
 
-def projection_factor(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
-    """Returns (residual (2,), J (2,20)) at the current state."""
+def projection_factor_ad(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
+    """Autodiff reference implementation of ``projection_factor`` (kept as
+    the ground truth the analytic form is tested against)."""
     zeros = jnp.zeros(PROJ_TANGENT, dtype=Pi.dtype)
     r = projection_residual_retracted(zeros, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas)
     J = jax.jacfwd(projection_residual_retracted)(
         zeros, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas
     )
+    return r, J
+
+
+def projection_factor(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
+    """Returns (residual (2,), J (2,20)) at the current state.
+
+    CLOSED-FORM Jacobian: a 2×3 projection-reduction row times chained 3×3
+    rotation blocks — ~10 small matmuls instead of 20 forward-mode tangents
+    through the quaternion chain (the reference hand-derives the same
+    blocks for Ceres, ``projection_td_factor.cpp:34-120``; these are
+    rederived in the local box-plus convention used here and FD-checked
+    against ``projection_factor_ad`` in tests).
+
+    Derivation sketch (δ right-perturbations, R e^{[δ]×}v ⇒ −R[v]×δ):
+      p_ci = pts_i_td/λ,  p_ii = R_ic p_ci + t_ic,  p_w = R_i p_ii + P_i,
+      p_ij = R_jᵀ(p_w − P_j),  p_cj = R_icᵀ(p_ij − t_ic),
+      B = R_icᵀR_jᵀ (∂p_cj/∂p_w),  A = B R_i (∂p_cj/∂p_ii).
+    """
+    dtype = Pi.dtype
+    lam = inv_dep_i
+    pts_i_td = meas.pts_i - (td - meas.td_i + meas.row_i) * meas.vel_i
+    pts_j_td = meas.pts_j - (td - meas.td_j + meas.row_j) * meas.vel_j
+    p_ci = pts_i_td / lam
+    p_ii = quat.qrot(qic, p_ci) + tic
+    p_w = quat.qrot(Qi, p_ii) + Pi
+    p_ij = quat.qrot_inv(Qj, p_w - Pj)
+    p_cj = quat.qrot_inv(qic, p_ij - tic)
+    x, y, z = p_cj
+    r = PROJ_SQRT_INFO * (p_cj[:2] / z - pts_j_td[:2])
+
+    Ric = quat.q2R(qic)
+    Ri = quat.q2R(Qi)
+    Rj = quat.q2R(Qj)
+    B = Ric.T @ Rj.T
+    A = B @ Ri
+    ARic = A @ Ric
+    # ∂(z-normalized projection)/∂p_cj, whitened
+    reduce = (PROJ_SQRT_INFO / z) * jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype)
+    reduce = reduce.at[:, 2].set(-PROJ_SQRT_INFO
+                                 * jnp.asarray([x, y]) / (z * z))
+    eye = jnp.eye(3, dtype=dtype)
+    J3 = jnp.concatenate([
+        B,                                       # δP_i
+        -A @ quat.skew(p_ii),                    # δθ_i
+        -B,                                      # δP_j
+        Ric.T @ quat.skew(p_ij),                 # δθ_j
+        Ric.T @ (Rj.T @ Ri - eye),               # δt_ic
+        -ARic @ quat.skew(p_ci) + quat.skew(p_cj),  # δθ_ic
+        (-(ARic @ p_ci) / lam)[:, None],         # δλ (p_ci = pts_i_td/λ)
+        (-(ARic @ meas.vel_i) / lam)[:, None],   # δtd via pts_i_td
+    ], axis=1)
+    J = reduce @ J3
+    # δtd also enters the residual directly through pts_j_td
+    J = J.at[:, 19].add(PROJ_SQRT_INFO * meas.vel_j[:2])
     return r, J
 
 
@@ -121,14 +177,77 @@ def imu_residual_retracted(dx, pre, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, 
     return sqrt_info @ r
 
 
-def imu_factor(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
-    """Returns (whitened residual (15,), J (15,30)).
-
-    Whitening via the preintegration covariance sqrt-information, as the
-    reference's ``IMUFactor::Evaluate`` (``imu_factor.h:63-71``)."""
+def imu_factor_ad(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
+    """Autodiff reference implementation of ``imu_factor`` (ground truth
+    for the analytic form's equivalence test)."""
     sqrt_info = imupre.sqrt_information(pre)
     zeros = jnp.zeros(IMU_TANGENT, dtype=Pi.dtype)
     args = (pre, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info)
     r = imu_residual_retracted(zeros, *args)
     J = jax.jacfwd(imu_residual_retracted)(zeros, *args)
     return r, J
+
+
+def imu_factor(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
+    """Returns (whitened residual (15,), J (15,30)).
+
+    Whitening via the preintegration covariance sqrt-information, as the
+    reference's ``IMUFactor::Evaluate`` (``imu_factor.h:63-71``).
+
+    CLOSED-FORM Jacobian blocks (the reference hand-derives the same for
+    Ceres, ``imu_factor.h:73-202``; rederived in this codebase's local
+    box-plus convention, first-order in the bias correction exactly like
+    the residual itself):
+      r_p = R_iᵀ(½g·T² + P_j − P_i − V_i·T) − δp(ba,bg)
+      r_q = 2·vec(γ⁻¹ ⊗ Q_i⁻¹ ⊗ Q_j),   γ = δq ⊗ [1, ½J_q_bg·δbg]
+      r_v = R_iᵀ(g·T + V_j − V_i) − δv(ba,bg)
+    with the θ-blocks via quaternion left/right product matrices.
+    δ layout: [P_i θ_i V_i Ba_i Bg_i | P_j θ_j V_j Ba_j Bg_j]."""
+    sqrt_info = imupre.sqrt_information(pre)
+    return imu_factor_whitened(pre, Pi, Qi, Vi, Bai, Bgi,
+                               Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info)
+
+
+def imu_factor_whitened(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi,
+                        Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info):
+    """``imu_factor`` with a precomputed whitening factor (the solver and
+    marginalization share ONE sqrt-information per interval)."""
+    dtype = Pi.dtype
+    dp, dq, dv = imupre.bias_corrected(pre, Bai, Bgi)
+    sdt = pre.sum_dt
+    yp = quat.qrot_inv(Qi, 0.5 * gravity * sdt * sdt + Pj - Pi - Vi * sdt)
+    yv = quat.qrot_inv(Qi, gravity * sdt + Vj - Vi)
+    Bq = quat.qmul(quat.qconj(Qi), Qj)
+    q_err = quat.qmul(quat.qconj(dq), Bq)
+    r = jnp.concatenate([yp - dp, 2.0 * q_err[1:4], yv - dv,
+                         Baj - Bai, Bgj - Bgi])
+
+    Jpre = pre.jacobian
+    blk = lambda a, b: Jpre[a:a + 3, b:b + 3]
+    dp_dba = blk(imupre.O_P, imupre.O_BA)
+    dp_dbg = blk(imupre.O_P, imupre.O_BG)
+    dv_dba = blk(imupre.O_V, imupre.O_BA)
+    dv_dbg = blk(imupre.O_V, imupre.O_BG)
+    dq_dbg = blk(imupre.O_R, imupre.O_BG)
+    RiT = quat.q2R(Qi).T
+    Z = jnp.zeros((3, 3), dtype)
+    eye = jnp.eye(3, dtype=dtype)
+    # θ-blocks: q_err(δθ_i) = γ⁻¹ ⊗ [1,−δ/2] ⊗ B;  q_err(δθ_j) = q_err ⊗ [1,δ/2];
+    # q_err(δbg_i) = [1,−(J_q_bg δbg)/2] ⊗ δq⁻¹ ⊗ B
+    M_thi = -(quat.qleft(quat.qconj(dq)) @ quat.qright(Bq))[1:4, 1:4]
+    M_thj = quat.qleft(q_err)[1:4, 1:4]
+    C = quat.qmul(quat.qconj(pre.delta_q), Bq)
+    M_bgi = -quat.qright(C)[1:4, 1:4] @ dq_dbg
+
+    def row(*cols):
+        return jnp.concatenate(cols, axis=1)
+
+    Jl = jnp.concatenate([
+        row(-RiT, quat.skew(yp), -RiT * sdt, -dp_dba, -dp_dbg,
+            RiT, Z, Z, Z, Z),
+        row(Z, M_thi, Z, Z, M_bgi, Z, M_thj, Z, Z, Z),
+        row(Z, quat.skew(yv), -RiT, -dv_dba, -dv_dbg, Z, Z, RiT, Z, Z),
+        row(Z, Z, Z, -eye, Z, Z, Z, Z, eye, Z),
+        row(Z, Z, Z, Z, -eye, Z, Z, Z, Z, eye),
+    ], axis=0)
+    return sqrt_info @ r, sqrt_info @ Jl

@@ -570,13 +570,15 @@ def _imu_batch(cfg: SolverConfig, x: WindowState, imu: ImuData, gravity,
                 x.P[j], x.Q[j], x.V[j], x.Ba[j], x.Bg[j],
                 x.P[j + 1], x.Q[j + 1], x.V[j + 1], x.Ba[j + 1], x.Bg[j + 1],
                 gravity, W)
+        if with_jac:
+            # closed-form Jacobian (factors.imu_factor docstring)
+            r, Jl = factors.imu_factor_whitened(*args[:-1], sqrt_info=args[-1])
+            r = jnp.where(ok, r, 0.0)
+            Jl = jnp.where(ok, Jl, 0.0)
+            return r, Jl
         zeros = jnp.zeros(factors.IMU_TANGENT, dtype)
         r = factors.imu_residual_retracted(zeros, *args)
         r = jnp.where(ok, r, 0.0)
-        if with_jac:
-            Jl = jax.jacfwd(factors.imu_residual_retracted)(zeros, *args)
-            Jl = jnp.where(ok, Jl, 0.0)
-            return r, Jl
         return r, jnp.zeros((), dtype)
 
     r, Jl = jax.vmap(one)(jnp.arange(WINDOW_SIZE), imu.pre, sqrt_infos, imu.valid)
