@@ -77,9 +77,11 @@ def test_projection_jacobian_fd():
 
 
 def test_projection_analytic_equals_autodiff():
-    """The closed-form Jacobian (the LM hot path) must match forward-mode
-    autodiff through the retraction to machine precision on generic random
-    states, including the td/rolling-shutter terms."""
+    """The closed-form Jacobian must match the hot path (forward-mode
+    autodiff through the retraction) to machine precision on generic
+    random states, including the td/rolling-shutter terms.  The analytic
+    form is a cross-check, not the hot path — see the measured note in
+    factors.projection_factor."""
     rng = np.random.default_rng(11)
     for _ in range(20):
         Pi, Pj, tic = (jnp.asarray(rng.normal(0, 1, 3)) for _ in range(3))
@@ -98,7 +100,7 @@ def test_projection_analytic_equals_autodiff():
             row_j=jnp.asarray(rng.uniform(0, 0.03)))
         args = (Pi, Qi, Pj, Qj, tic, qic, lam, td, meas)
         r_a, J_a = factors.projection_factor(*args)
-        r_d, J_d = factors.projection_factor_ad(*args)
+        r_d, J_d = factors.projection_factor_analytic(*args)
         np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_d),
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(J_a), np.asarray(J_d),
@@ -158,7 +160,7 @@ def test_imu_analytic_equals_autodiff():
         args = (pre, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj,
                 jnp.asarray(G))
         r_a, J_a = factors.imu_factor(*args)
-        r_d, J_d = factors.imu_factor_ad(*args)
+        r_d, J_d = factors.imu_factor_analytic(*args)
         np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_d),
                                    atol=1e-10)
         scale = 1 + np.abs(np.asarray(J_d)).max()

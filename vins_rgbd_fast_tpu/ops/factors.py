@@ -82,9 +82,19 @@ def projection_residual_retracted(dx, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, m
     )
 
 
-def projection_factor_ad(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
-    """Autodiff reference implementation of ``projection_factor`` (kept as
-    the ground truth the analytic form is tested against)."""
+def projection_factor(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
+    """Returns (residual (2,), J (2,20)) at the current state — the HOT
+    path, via forward-mode autodiff through the retraction.
+
+    MEASURED DESIGN DECISION (round 3): the hand-derived closed forms
+    (``projection_factor_analytic`` below) made the fused batched scan
+    2.3× SLOWER on TPU (141 vs 331 fps aggregate, min-of-4 single-process
+    ablation, scripts/profile_jac_ablation.py): per-factor 3×3 block
+    chains + (2,20) concats vmap into padding-heavy small-op layouts
+    ((3,20)→(8,128) vregs), while ``jacfwd`` traces into the same large
+    fused einsums as the residual itself.  On TPU, autodiff through the
+    retraction IS the fast Jacobian — the analytic forms stay as a tested
+    cross-check."""
     zeros = jnp.zeros(PROJ_TANGENT, dtype=Pi.dtype)
     r = projection_residual_retracted(zeros, Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas)
     J = jax.jacfwd(projection_residual_retracted)(
@@ -93,15 +103,14 @@ def projection_factor_ad(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas
     return r, J
 
 
-def projection_factor(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
-    """Returns (residual (2,), J (2,20)) at the current state.
+def projection_factor_analytic(Pi, Qi, Pj, Qj, tic, qic, inv_dep_i, td, meas: ProjMeas):
+    """Closed-form twin of ``projection_factor`` (NOT the hot path — see
+    the measurement note there).
 
-    CLOSED-FORM Jacobian: a 2×3 projection-reduction row times chained 3×3
-    rotation blocks — ~10 small matmuls instead of 20 forward-mode tangents
-    through the quaternion chain (the reference hand-derives the same
-    blocks for Ceres, ``projection_td_factor.cpp:34-120``; these are
-    rederived in the local box-plus convention used here and FD-checked
-    against ``projection_factor_ad`` in tests).
+    A 2×3 projection-reduction row times chained 3×3 rotation blocks (the
+    reference hand-derives the same blocks for Ceres,
+    ``projection_td_factor.cpp:34-120``; rederived in the local box-plus
+    convention used here and FD/equivalence-checked in tests).
 
     Derivation sketch (δ right-perturbations, R e^{[δ]×}v ⇒ −R[v]×δ):
       p_ci = pts_i_td/λ,  p_ii = R_ic p_ci + t_ic,  p_w = R_i p_ii + P_i,
@@ -177,10 +186,18 @@ def imu_residual_retracted(dx, pre, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, 
     return sqrt_info @ r
 
 
-def imu_factor_ad(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
-    """Autodiff reference implementation of ``imu_factor`` (ground truth
-    for the analytic form's equivalence test)."""
+def imu_factor(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
+    """Returns (whitened residual (15,), J (15,30)) — HOT path via
+    autodiff (same measured rationale as ``projection_factor``)."""
     sqrt_info = imupre.sqrt_information(pre)
+    return imu_factor_whitened(pre, Pi, Qi, Vi, Bai, Bgi,
+                               Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info)
+
+
+def imu_factor_whitened(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi,
+                        Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info):
+    """``imu_factor`` with a precomputed whitening factor (the solver and
+    marginalization share ONE sqrt-information per interval)."""
     zeros = jnp.zeros(IMU_TANGENT, dtype=Pi.dtype)
     args = (pre, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info)
     r = imu_residual_retracted(zeros, *args)
@@ -188,8 +205,9 @@ def imu_factor_ad(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, B
     return r, J
 
 
-def imu_factor(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
-    """Returns (whitened residual (15,), J (15,30)).
+def imu_factor_analytic(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity):
+    """Closed-form twin of ``imu_factor`` (NOT the hot path — see the
+    measured note on ``projection_factor``).
 
     Whitening via the preintegration covariance sqrt-information, as the
     reference's ``IMUFactor::Evaluate`` (``imu_factor.h:63-71``).
@@ -204,14 +222,15 @@ def imu_factor(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi, Pj, Qj, Vj, Baj,
     with the θ-blocks via quaternion left/right product matrices.
     δ layout: [P_i θ_i V_i Ba_i Bg_i | P_j θ_j V_j Ba_j Bg_j]."""
     sqrt_info = imupre.sqrt_information(pre)
-    return imu_factor_whitened(pre, Pi, Qi, Vi, Bai, Bgi,
-                               Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info)
+    return imu_factor_whitened_analytic(pre, Pi, Qi, Vi, Bai, Bgi,
+                                        Pj, Qj, Vj, Baj, Bgj, gravity,
+                                        sqrt_info)
 
 
-def imu_factor_whitened(pre: imupre.Preintegrated, Pi, Qi, Vi, Bai, Bgi,
-                        Pj, Qj, Vj, Baj, Bgj, gravity, sqrt_info):
-    """``imu_factor`` with a precomputed whitening factor (the solver and
-    marginalization share ONE sqrt-information per interval)."""
+def imu_factor_whitened_analytic(pre: imupre.Preintegrated, Pi, Qi, Vi,
+                                 Bai, Bgi, Pj, Qj, Vj, Baj, Bgj, gravity,
+                                 sqrt_info):
+    """``imu_factor_analytic`` with a precomputed whitening factor."""
     dtype = Pi.dtype
     dp, dq, dv = imupre.bias_corrected(pre, Bai, Bgi)
     sdt = pre.sum_dt

@@ -571,7 +571,6 @@ def _imu_batch(cfg: SolverConfig, x: WindowState, imu: ImuData, gravity,
                 x.P[j + 1], x.Q[j + 1], x.V[j + 1], x.Ba[j + 1], x.Bg[j + 1],
                 gravity, W)
         if with_jac:
-            # closed-form Jacobian (factors.imu_factor docstring)
             r, Jl = factors.imu_factor_whitened(*args[:-1], sqrt_info=args[-1])
             r = jnp.where(ok, r, 0.0)
             Jl = jnp.where(ok, Jl, 0.0)
