@@ -231,3 +231,34 @@ def test_lk_pallas2_matches_xla_loop():
                             engine="pallas", engine_interpret=True)
     assert np.abs(np.asarray(a.pts) - np.asarray(b.pts)).max() < 1e-3
     assert bool((a.status == b.status).all())
+
+
+def test_lk_pallas3_matches_xla_loop():
+    """The fused DMA+iteration Pallas level kernel (v3, interpret mode)
+    is numerically equivalent to the XLA matmul-sampler formulation —
+    including status semantics (eig gate, window containment, border)."""
+    import numpy as np
+    H, W = 120, 160
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    img0 = (120 + 50 * np.sin(xx / 7.0) * np.cos(yy / 9.0)).astype(np.float32)
+    img1 = (120 + 50 * np.sin((xx - 1.4) / 7.0)
+            * np.cos((yy + 0.8) / 9.0)).astype(np.float32)
+    p0 = tuple(image_ops.build_pyramid(jnp.asarray(img0), 2))
+    p1 = tuple(image_ops.build_pyramid(jnp.asarray(img1), 2))
+    rng = np.random.default_rng(5)
+    # include near-border points and one far-out (diverged-track) point
+    pts = np.stack([rng.uniform(15, 145, 24), rng.uniform(15, 105, 24)], -1)
+    pts[0] = [11.0, 11.0]
+    pts[1] = [-40.0, 200.0]
+    pts = jnp.asarray(pts.astype(np.float32))
+    act = jnp.ones(24, bool).at[2].set(False)
+    a = lk_ops.pyramidal_lk(p0, p1, pts, pts, act, max_iters=8,
+                            coarse_iters=4, sampler="matmul", engine="xla")
+    b = lk_ops.pyramidal_lk(p0, p1, pts, pts, act, max_iters=8,
+                            coarse_iters=4, sampler="matmul",
+                            engine="pallas3", engine_interpret=True)
+    ok = np.asarray(a.status)
+    assert bool((a.status == b.status).all())
+    assert np.abs(np.asarray(a.pts) - np.asarray(b.pts))[ok].max() < 1e-3
+    assert np.abs(np.asarray(a.err) - np.asarray(b.err))[ok].max() < 1e-3

@@ -72,6 +72,8 @@ class TrackerConfig:
     lk_coarse_iters: int = 10  # coarse levels only need ~1-2 px accuracy
     lk_sampler: str = "gather"  # "gather" = single-seq latency mode;
     # "matmul" = sequence-batched mode (see ops.lk.pyramidal_lk)
+    lk_engine: str = "auto"  # matmul sampler backend: "xla" | "pallas" |
+    # "pallas3" (fused patch-DMA level kernel, ops/lk_pallas3.py)
 
     @property
     def maxc(self) -> int:
@@ -292,7 +294,7 @@ def track_frame(
         state.pyramid[:levels], pyr[:levels], state.pts, pred,
         active & state.has_prev,
         max_iters=cfg.lk_max_iters, coarse_iters=cfg.lk_coarse_iters,
-        sampler=cfg.lk_sampler,
+        sampler=cfg.lk_sampler, engine=cfg.lk_engine,
     )
     in_b = _in_border(cfg, lk.pts)
     tracked = lk.status & in_b

@@ -312,6 +312,46 @@ def _track_level_gather(
     return jax.vmap(one_point)(pts_l, flow, active)
 
 
+def _track_level_fused(
+    prev_img, cur_img, pts_l, flow, active, win, max_iters, eps, min_eig,
+    check_border, search_margin: int = 8, engine_interpret: bool = False,
+):
+    """Pallas v3 level: patch prep + GN iterations fused in one kernel
+    with per-point HBM→VMEM tile DMA (`ops/lk_pallas3.py`) — no
+    image-sized intermediates.  Status semantics identical to
+    ``_track_level_matmul``."""
+    from . import lk_pallas3
+
+    dtype = prev_img.dtype
+    H, W = prev_img.shape
+    WIN = win + 1 + 2 * search_margin
+    pad = WIN
+    prev_p = jnp.pad(prev_img, pad, mode="edge")
+    cur_p = jnp.pad(cur_img, pad, mode="edge")
+    u, ok_eig, err, axf, ayf = lk_pallas3.lk_level_fused(
+        prev_p, cur_p, pts_l, flow, active, win=win,
+        search_margin=search_margin, iters=max_iters, eps=eps,
+        min_eig=min_eig, interpret=engine_interpret)
+    u = u.astype(dtype)
+    new_pos = pts_l + u
+    in_win = (
+        (new_pos[:, 0] - (win // 2) >= axf)
+        & (new_pos[:, 0] + (win // 2) + 1 < axf + WIN)
+        & (new_pos[:, 1] - (win // 2) >= ayf)
+        & (new_pos[:, 1] + (win // 2) + 1 < ayf + WIN)
+    )
+    if check_border:
+        hb = win // 2
+        inb = (
+            (new_pos[:, 0] >= hb) & (new_pos[:, 0] < W - hb)
+            & (new_pos[:, 1] >= hb) & (new_pos[:, 1] < H - hb)
+        )
+    else:
+        inb = jnp.ones_like(in_win)
+    status = active & ok_eig & in_win & inb
+    return u, status, err.astype(dtype)
+
+
 def pyramidal_lk(
     prev_pyr: List[jax.Array],
     cur_pyr: List[jax.Array],
@@ -353,10 +393,15 @@ def pyramidal_lk(
         if eng == "auto":
             # the VMEM-resident Pallas iteration kernel (lk_pallas2) is
             # numerically equivalent but not yet proven on-device through
-            # the remote-compile tunnel — opt in with engine="pallas"
+            # the remote-compile tunnel — opt in with engine="pallas";
+            # "pallas3" fuses patch prep + iterations with per-point DMA
             eng = "xla"
-        level_fn = _ft.partial(_track_level_matmul, engine=eng,
-                               engine_interpret=engine_interpret)
+        if eng == "pallas3":
+            level_fn = _ft.partial(_track_level_fused,
+                                   engine_interpret=engine_interpret)
+        else:
+            level_fn = _ft.partial(_track_level_matmul, engine=eng,
+                                   engine_interpret=engine_interpret)
     else:
         level_fn = _track_level_gather
     scale_top = jnp.asarray(2.0 ** (levels - 1), dtype)
