@@ -189,9 +189,14 @@ def run_batched() -> dict:
     from vins_rgbd_fast_tpu.parallel import batched_pipeline as bp
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "64"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "89"))
     warmup = 14  # fill window + init + settle
     with_loop = os.environ.get("BENCH_LOOP", "1") != "0"
+    # 1 warm + (n_seg-1) timed segments; the LAST segment is the reported
+    # steady state — the first timed segment pays the one-time compiles of
+    # the loop-closure programs (find-connection/PGO only trace once loops
+    # actually fire, which an empty-DB warm segment cannot)
+    n_seg = max(int(os.environ.get("BENCH_SEGMENTS", "3")), 2)
 
     rig = _rig()
     seqs = [syn.make_trajectory(n_frames, rig, seed=100 + b, omega_scale=0.15,
@@ -241,35 +246,43 @@ def run_batched() -> dict:
             pipes[0].cam, pipes[0].vcfg.ric_matrix(),
             pipes[0].vcfg.tic_vector(), B, pg_cfg)
 
-    # two equal-length staged segments: the first compiles+warms the scan
-    # program, the second (different data, same shapes) is the timed run
-    T = (n_frames - warmup) // 2
-    batch_warm = bp.stage_frames(pipes, frames, warmup, warmup + T)
-    batch_timed = bp.stage_frames(pipes, frames, warmup + T, warmup + 2 * T)
-    jax.block_until_ready((batch_warm.imgs, batch_timed.imgs))
+    # staged segments: segment 0 compiles+warms the scan program; later
+    # segments (different data, same shapes) are timed; the LAST is the
+    # reported steady state
+    T = (n_frames - warmup) // n_seg
+    batches = [bp.stage_frames(pipes, frames, warmup + k * T,
+                               warmup + (k + 1) * T) for k in range(n_seg)]
+    jax.block_until_ready([b.imgs for b in batches])
 
-    trk_states, est_states, outs_w = runner.run(trk_states, est_states, batch_warm)
+    trk_states, est_states, outs_w = runner.run(trk_states, est_states,
+                                                batches[0])
     jax.block_until_ready(est_states.x.P)
     if closer is not None:  # compiles extraction/scoring programs
-        closer.consume(batch_warm, outs_w)
+        closer.consume(batches[0], outs_w)
 
-    t0 = time.perf_counter()
-    trk_states, est_states, outs = runner.run(trk_states, est_states, batch_timed)
-    jax.block_until_ready(est_states.x.P)
-    t_scan = time.perf_counter()
+    seg_fps, seg_loop_ms = [], []
     loop_stats = None
-    if closer is not None:
-        loop_stats = closer.consume(batch_timed, outs)
-    elapsed = time.perf_counter() - t0
-    loop_ms = 1000.0 * (time.perf_counter() - t_scan)
+    for k in range(1, n_seg):
+        t0 = time.perf_counter()
+        trk_states, est_states, outs = runner.run(trk_states, est_states,
+                                                  batches[k])
+        jax.block_until_ready(est_states.x.P)
+        t_scan = time.perf_counter()
+        if closer is not None:
+            loop_stats = closer.consume(batches[k], outs)
+        elapsed = time.perf_counter() - t0
+        seg_fps.append(T * B / elapsed if elapsed > 0 else 0.0)
+        seg_loop_ms.append(1000.0 * (time.perf_counter() - t_scan))
+    fps = seg_fps[-1]
+    loop_ms = seg_loop_ms[-1]
     n_timed = T * B
-    fps = n_timed / elapsed if elapsed > 0 else 0.0
 
-    # accuracy: ATE of EVERY sequence over the timed span (mean/max)
+    # accuracy: ATE of EVERY sequence over the last timed span (mean/max)
     host = jax.device_get(outs)
     ates = []
     for b in range(B):
-        ts = [frames[b][k][0] for k in range(warmup + T, warmup + 2 * T)]
+        ts = [frames[b][k][0]
+              for k in range(warmup + (n_seg - 1) * T, warmup + n_seg * T)]
         Pb = [np.asarray(host.P[i, b]) for i in range(T)]
         a = io_stream.ate_rmse(ts, Pb, seqs[b].times, seqs[b].P, align=False)
         if np.isfinite(a):
@@ -286,6 +299,8 @@ def run_batched() -> dict:
     if loop_stats is not None:
         out["loop_kf"] = int(loop_stats["n_keyframes"])
         out["loop_ms"] = round(loop_ms, 1)
+        out["loops_found"] = int(closer.n_loops)
+        out["seg_fps"] = [round(f, 1) for f in seg_fps]
     return out
 
 

@@ -23,8 +23,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.image import bilinear_sample
-
 N_BITS = 256
 PATCH_HALF = 24  # 48x48 sampling window like the reference pattern's extent
 
@@ -49,21 +47,50 @@ def smooth(img: jax.Array) -> jax.Array:
     )[0, 0]
 
 
+def _pattern_selectors():
+    """Constant one-hot (49², 256) selectors mapping a flattened patch to
+    the pattern's A/B sample values — descriptor sampling becomes two MXU
+    matmuls instead of 2·256 serialized gathers per keypoint (measured
+    210 ms → ~10 ms for 32×(192 kp) images on a v5e)."""
+    size = 2 * PATCH_HALF + 1
+    pat = make_pattern()
+    SA = np.zeros((size * size, N_BITS), np.float32)
+    SB = np.zeros((size * size, N_BITS), np.float32)
+    for k in range(N_BITS):
+        x1, y1, x2, y2 = pat[k]
+        SA[(y1 + PATCH_HALF) * size + (x1 + PATCH_HALF), k] = 1.0
+        SB[(y2 + PATCH_HALF) * size + (x2 + PATCH_HALF), k] = 1.0
+    return jnp.asarray(SA), jnp.asarray(SB)
+
+
+_SEL_A, _SEL_B = _pattern_selectors()
+
+
 @jax.jit
 def compute_descriptors(img: jax.Array, uv: jax.Array, valid: jax.Array) -> jax.Array:
     """BRIEF bits for keypoints uv (N,2) -> int8 ±1 matrix (N, 256).
 
+    One bilinear 49×49 patch per keypoint (row-strip gather + weighted
+    column-select einsum, the LK patch-prep formulation) then the pattern
+    pairs as constant one-hot matmuls — identical values to per-sample
+    bilinear interpolation for in-image keypoints (the pattern offsets
+    are integers, so patch[y+24, x+24] IS the bilinear sample at p+(x,y)).
+
     Invalid keypoints get all-zero rows (distance-neutral under matmul
     scoring)."""
+    from ..ops.lk import _batched_subpix_patches
+
     s = smooth(img)
-
-    def one(p, ok):
-        a = bilinear_sample(s, p[None, :] + _PATTERN[:, 0:2].astype(s.dtype))
-        b = bilinear_sample(s, p[None, :] + _PATTERN[:, 2:4].astype(s.dtype))
-        bits = jnp.where(a < b, 1, -1).astype(jnp.int8)
-        return jnp.where(ok, bits, 0)
-
-    return jax.vmap(one)(uv, valid)
+    size = 2 * PATCH_HALF + 1
+    pad = PATCH_HALF + 2
+    sp = jnp.pad(s, pad, mode="edge")
+    patches = _batched_subpix_patches(sp, uv, size, pad)  # (N, 49, 49)
+    flat = patches.reshape(patches.shape[0], -1)
+    with jax.default_matmul_precision("float32"):
+        a = flat @ _SEL_A.astype(flat.dtype)
+        b = flat @ _SEL_B.astype(flat.dtype)
+    bits = jnp.where(a < b, 1, -1).astype(jnp.int8)
+    return jnp.where(valid[:, None], bits, 0)
 
 
 def hamming_matrix(da: jax.Array, db: jax.Array) -> jax.Array:

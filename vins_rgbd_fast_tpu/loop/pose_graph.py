@@ -88,7 +88,13 @@ def _extract_kf_device(cfg: PoseGraphConfig, cam: CameraModel,
     """Device part of KeyFrame construction (``keyframe.cpp:80-119``):
     fresh FAST-20 keypoints + BRIEF for retrieval, BRIEF on the VIO window
     points for matching."""
-    score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
+    if jax.default_backend() == "tpu":
+        # fused Pallas FAST+NMS stencil (bit-exact; same gate as the
+        # tracker's detection path)
+        from ..ops import fast_pallas
+        score = fast_pallas.fast_score_nms(img, cfg.fast_threshold)
+    else:
+        score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
     H, W = img.shape
     flat = score.reshape(-1)
     vals, idx = jax.lax.top_k(flat, cfg.max_kp)

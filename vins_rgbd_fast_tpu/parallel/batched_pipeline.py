@@ -142,7 +142,17 @@ class BatchedVioRunner:
         # per-iteration sampling einsums are the dominant tracker cost —
         # 12/6 was ATE-neutral on the bench sweep.
         import dataclasses as _dc
-        tcfg = _dc.replace(tcfg, lk_sampler="matmul",
+        # LK engine: the fused patch-DMA Pallas level kernel wins ~10% on
+        # the whole step on TPU (scripts/profile_lk3_step.py: 362 vs 328
+        # fps, identical trajectories); on CPU (tests, multichip dryrun)
+        # Pallas would need interpret mode — keep XLA.  NOTE: pallas_call
+        # has no SPMD partitioning rule, so a REAL multi-chip mesh run
+        # should shard_map the runner (sequences are independent) or set
+        # lk_engine="xla"; the CPU dryrun takes the xla path already.
+        eng = tcfg.lk_engine
+        if eng == "auto":
+            eng = "pallas3" if jax.default_backend() == "tpu" else "xla"
+        tcfg = _dc.replace(tcfg, lk_sampler="matmul", lk_engine=eng,
                            lk_max_iters=min(tcfg.lk_max_iters, 12),
                            lk_coarse_iters=min(tcfg.lk_coarse_iters, 6))
         self.tcfg = tcfg

@@ -85,16 +85,22 @@ class BatchedLoopCloser:
     def consume(self, batch: FrameBatch, outs: ScanOutputs) -> dict:
         """Feed one scan segment's keyframes to the per-sequence graphs.
 
-        ``outs`` may be device or host; fetched once here."""
-        host = jax.device_get(outs)
-        ts = np.asarray(jax.device_get(batch.ts))
+        Exactly TWO device→host syncs per segment: the tunneled readback
+        costs ~30 ms per device_get regardless of size, and the first
+        version of this method paid ~15 of them (measured 1.1 s/segment
+        steady-state with ZERO loops) — (1) the small gating inputs, then
+        (2) one fetch of the gathered keyframe subset + extraction +
+        per-sequence retrieval scores together."""
+        # sync 1: gating inputs (is_keyframe flags + positions + stamps)
+        is_kf, P_all, ts = jax.device_get(
+            (outs.is_keyframe, outs.P, batch.ts))
+        is_kf, P_all, ts = np.asarray(is_kf), np.asarray(P_all), np.asarray(ts)
         T, B = ts.shape
 
         sel = []  # (k, b) in frame order
         for b in range(B):
             for k in range(T):
-                if self._gate(b, bool(host.is_keyframe[k, b]),
-                              np.asarray(host.P[k, b])):
+                if self._gate(b, bool(is_kf[k, b]), P_all[k, b]):
                     sel.append((k, b))
         if not sel:
             return dict(n_keyframes=0, n_loops=0)
@@ -103,22 +109,44 @@ class BatchedLoopCloser:
         ks = np.asarray([s[0] for s in sel] + [0] * (Kp - K))
         bs = np.asarray([s[1] for s in sel] + [0] * (Kp - K))
 
-        # one gather + one extraction dispatch for the whole segment
+        # device work: gather the selected keyframes' data, extract
+        # features (one dispatch), score retrieval per sequence — all
+        # WITHOUT host syncs
         imgs = jnp.asarray(batch.imgs)[ks, bs]
-        wp_uv = jnp.asarray(np.asarray(host.wp_uv)[ks, bs])
-        wp_valid = jnp.asarray(np.asarray(host.wp_valid)[ks, bs])
-        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = (
-            np.asarray(o) for o in self._extract(imgs, wp_uv, wp_valid))
-
-        # one retrieval-scoring dispatch per sequence
+        wp_uv_d = jnp.asarray(outs.wp_uv)[ks, bs]
+        wp_valid_d = jnp.asarray(outs.wp_valid)[ks, bs]
+        wp_world_d = jnp.asarray(outs.wp_world)[ks, bs]
+        wp_norm_d = jnp.asarray(outs.wp_norm)[ks, bs]
+        Q_d = jnp.asarray(outs.Q)[ks, bs]
+        ext = self._extract(imgs, wp_uv_d, wp_valid_d)
+        kp_desc_d, kp_valid_d = ext[3], ext[2]
         by_seq: dict = {}
         for i in range(K):
             by_seq.setdefault(int(bs[i]), []).append(i)
+        scores_d: dict = {}
+        for b, idxs in by_seq.items():
+            g = self.graphs[b]
+            if g._dev_db is None or g._db_size == 0:
+                scores_d[b] = None
+            else:
+                from ..loop.pose_graph import _db_query_multi
+                scores_d[b] = _db_query_multi(
+                    g._dev_db, g._dev_valid,
+                    kp_desc_d[jnp.asarray(idxs)],
+                    kp_valid_d[jnp.asarray(idxs)],
+                    float(self.cfg.score_dist))
+
+        # sync 2: everything the host path needs, in one fetch
+        (kp_uv, kp_norm, kp_valid, kp_desc, wp_desc), wp_world, wp_norm, \
+            wp_valid, Qh, scores_h = jax.device_get(
+                (ext, wp_world_d, wp_norm_d, wp_valid_d, Q_d, scores_d))
+        kp_uv, kp_norm, kp_valid = (np.asarray(a) for a in
+                                    (kp_uv, kp_norm, kp_valid))
+        kp_desc, wp_desc = np.asarray(kp_desc), np.asarray(wp_desc)
         scores: dict = {}
         for b, idxs in by_seq.items():
-            s = self.graphs[b].detect_scores_batch(
-                kp_desc[idxs], kp_valid[idxs])
-            scores[b] = {i: (None if s is None else s[j])
+            s = scores_h[b]
+            scores[b] = {i: (None if s is None else np.asarray(s)[j])
                          for j, i in enumerate(idxs)}
 
         # sequential host processing (cheap: poses + thresholds; PnP only on
@@ -130,9 +158,9 @@ class BatchedLoopCloser:
             g = self.graphs[b]
             info = g.add_keyframe_extracted(
                 float(ts[k, b]),
-                np.asarray(host.P[k, b]), np.asarray(host.Q[k, b]),
-                np.asarray(host.wp_world[k, b]), np.asarray(host.wp_norm[k, b]),
-                np.asarray(host.wp_valid[k, b]),
+                P_all[k, b], np.asarray(Qh[i]),
+                np.asarray(wp_world[i]), np.asarray(wp_norm[i]),
+                np.asarray(wp_valid[i]),
                 kp_uv[i], kp_norm[i], kp_valid[i], kp_desc[i], wp_desc[i],
                 scores=scores[b][i], append_db=False,
             )
