@@ -335,14 +335,18 @@ def _moving_consistency(cfg: EstimatorConfig, x: WindowState, t: FeatureTable) -
 def _failure_flags(cfg: EstimatorConfig, st: EstimatorState, x_new: WindowState,
                    last_track_num) -> jax.Array:
     """failureDetection (estimator.cpp:1113-1159) — returns a bool."""
+    # "little feature": the visual front end collapsed (blackout, fast
+    # motion), estimator.cpp:1115 — IMU coasting hides this from the
+    # jump criteria for many frames
+    few_tracks = last_track_num < 2
     big_ba = jnp.linalg.norm(x_new.Ba[WINDOW_SIZE]) > 2.5
     big_bg = jnp.linalg.norm(x_new.Bg[WINDOW_SIZE]) > 1.0
     dp = x_new.P[WINDOW_SIZE] - st.last_P
     big_t = jnp.linalg.norm(dp) > 5.0
     big_z = jnp.abs(dp[2]) > 1.0
-    fail = big_ba | big_bg | big_t | big_z
+    fail = few_tracks | big_ba | big_bg | big_t | big_z
     if not cfg.use_imu:
-        fail = big_t | big_z
+        fail = few_tracks | big_t | big_z
     return fail
 
 
