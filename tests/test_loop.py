@@ -322,6 +322,74 @@ def test_loop_detection_precision_recall_default_thresholds():
         f"recall too low at default thresholds: {hits}/{n_revisit}")
 
 
+@pytest.mark.slow
+def test_loop_detection_pr_under_sensor_degradation():
+    """Same precision/recall contract under imaging degradations
+    (exposure drift between visit and revisit, read noise, rolling-shutter
+    shear — io/synthetic.SensorDegradation): precision must stay perfect,
+    recall may drop but must not collapse."""
+    rig = syn.SyntheticRig(width=320, height=240, fx=230.0, fy=230.0,
+                           cx=160.0, cy=120.0)
+    cam = make_camera("PINHOLE", fx=rig.fx, fy=rig.fy, cx=rig.cx, cy=rig.cy,
+                      width=320, height=240)
+    cfg = pg.PoseGraphConfig(max_kp=128, max_wp=64, recency_exclusion=6,
+                             min_loop_num=15)  # default 0.14/0.05 scores
+    graph = pg.PoseGraph(cfg, cam, np.eye(3), np.zeros(3))
+    from vins_rgbd_fast_tpu.ops import fast as fast_ops
+
+    deg = syn.SensorDegradation(exposure_amp=0.2, exposure_period=6.0,
+                                read_noise=2.0, rs_shear_px=1.5)
+    key = jax.random.PRNGKey(9)
+    n_novel, n_revisit = 12, 6
+
+    def pose(k):
+        if k < n_novel:
+            P = np.array([-2.2 + 0.4 * k, 0.4 * np.sin(0.9 * k), 0.0])
+            yaw = 8.0 * np.sin(1.3 * k)
+        else:
+            j = k - n_novel
+            P = np.array([-2.2 + 0.4 * j + 0.06, 0.4 * np.sin(0.9 * j) - 0.04,
+                          0.02])
+            yaw = 8.0 * np.sin(1.3 * j) + 1.5
+        c, s = np.cos(np.deg2rad(yaw)), np.sin(np.deg2rad(yaw))
+        Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        return P, np.asarray(quat.R2q(jnp.asarray(Rz)))
+
+    def add(k):
+        P, q = pose(k)
+        img, depth = syn.render_frame(rig, jnp.asarray(P, jnp.float32),
+                                      jnp.asarray(q, jnp.float32))
+        img, depth = syn.degrade_frame(rig, deg, img, depth,
+                                       jax.random.fold_in(key, k),
+                                       jnp.float32(k * 0.5))
+        score = fast_ops.nms3(fast_ops.fast_score(img, 20.0))
+        _, idxs = jax.lax.top_k(score.reshape(-1), cfg.max_wp)
+        uv = np.stack([np.asarray(idxs) % 320, np.asarray(idxs) // 320],
+                      -1).astype(float)
+        d = np.asarray(depth)[uv[:, 1].astype(int), uv[:, 0].astype(int)]
+        rays = np.asarray(cam.lift(jnp.asarray(uv)))
+        Rwc = np.asarray(quat.q2R(jnp.asarray(q)))
+        wp_world = (rays * d[:, None]) @ Rwc.T + P
+        return graph.add_keyframe(np.asarray(img), float(k), P, q,
+                                  wp_world, uv, rays[:, :2], d > 0.2)
+
+    false_pos = []
+    for k in range(n_novel):
+        info = add(k)
+        if info is not None:
+            false_pos.append((k, info["old"]))
+    assert not false_pos, f"degraded novel views accepted: {false_pos}"
+
+    hits = 0
+    for k in range(n_novel, n_novel + n_revisit):
+        info = add(k)
+        true_old = k - n_novel
+        if info is not None and abs(info["old"] - true_old) <= 2:
+            hits += 1
+    assert hits >= max(n_revisit // 3, 1), (
+        f"recall collapsed under degradation: {hits}/{n_revisit}")
+
+
 def _mini_posegraph(use_6dof=False):
     cam = make_camera("PINHOLE", fx=230.0, fy=230.0, cx=160.0, cy=120.0,
                       k1=0, k2=0, p1=0, p2=0, width=320, height=240)
