@@ -432,6 +432,8 @@ class StepOutput(NamedTuple):
     failure: jax.Array
     cost: jax.Array
     n_features: jax.Array
+    n_dynamic: jax.Array  # features currently flagged by the moving-
+    # consistency check (diagnostic; estimator.cpp:1965-2008)
     last_track_num: jax.Array
     relo_P: jax.Array  # optimized relocalization pose (zeros if unused)
     relo_Q: jax.Array
@@ -550,7 +552,9 @@ def _solve_and_slide(
         P=x_new.P[WINDOW_SIZE], Q=x_new.Q[WINDOW_SIZE], V=x_new.V[WINDOW_SIZE],
         Ba=x_new.Ba[WINDOW_SIZE], Bg=x_new.Bg[WINDOW_SIZE],
         is_keyframe=is_kf, failure=failure, cost=res.cost,
-        n_features=jnp.sum(vis.valid), last_track_num=last_track_num,
+        n_features=jnp.sum(vis.valid),
+        n_dynamic=jnp.sum(st.table.is_dynamic),
+        last_track_num=last_track_num,
         relo_P=(res.relo_P if res.relo_P is not None else jnp.zeros(3, dtype)),
         relo_Q=(res.relo_Q if res.relo_Q is not None
                 else jnp.asarray([1.0, 0, 0, 0], dtype)),
