@@ -182,10 +182,7 @@ class BatchedVioRunner:
                               wp_norm=sout.wp_norm, wp_valid=sout.wp_valid)
             return (trk, st, base_keys, step_idx + 1), out
 
-        @partial(jax.jit, static_argnames=())
-        def run(trk_states, est_states, batch: FrameBatch):
-            B = batch.ts.shape[1]
-            base_keys = jax.random.split(jax.random.PRNGKey(17), B)
+        def run_impl(trk_states, est_states, batch: FrameBatch, base_keys):
             with jax.default_matmul_precision("float32"):
                 (trk, st, _, _), outs = jax.lax.scan(
                     frame_step,
@@ -197,12 +194,20 @@ class BatchedVioRunner:
             return trk, st, outs
 
         @partial(jax.jit, static_argnames=())
+        def run(trk_states, est_states, batch: FrameBatch):
+            B = batch.ts.shape[1]
+            base_keys = jax.random.split(jax.random.PRNGKey(17), B)
+            return run_impl(trk_states, est_states, batch, base_keys)
+
+        @partial(jax.jit, static_argnames=())
         def one_step(carry, img, depth, t, idts, iacc, igyr):
             with jax.default_matmul_precision("float32"):
                 return frame_step(carry, (img, depth, t, idts, iacc, igyr))
 
         self._run = run
+        self._run_impl = run_impl
         self._one_step = one_step
+        self._run_sharded = None
 
     def run_chained(self, trk_states, est_states, batch: FrameBatch):
         """Same per-frame program as ``run`` but dispatched once per frame
@@ -246,6 +251,42 @@ class BatchedVioRunner:
         """Process all T frames of all B sequences; returns
         (tracker_states, estimator_states, ScanOutputs (T,B,...))."""
         return self._run(trk_states, est_states, batch)
+
+    def run_sharded(self, trk_states, est_states, batch: FrameBatch):
+        """``run`` under ``shard_map`` over the mesh: each device executes
+        its own B/n-sequence slice of the scan as a complete local program.
+
+        This is the REAL multi-chip execution path: sequences are
+        independent so no collectives are needed, and — unlike plain
+        ``jit`` sharding propagation — every op inside (including
+        ``pallas_call`` kernels, which have no SPMD partitioning rule)
+        runs shard-locally.  Requires B divisible by the mesh size and
+        inputs placed with put_states/put_batch."""
+        assert self.mesh is not None, "run_sharded needs a mesh"
+        if self._run_sharded is None:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P_
+
+            ax = self.axis
+            sB = P_(ax)
+            sTB = P_(None, ax)
+            f = shard_map(
+                self._run_impl, mesh=self.mesh,
+                in_specs=(sB, sB, sTB, sB),
+                out_specs=(sB, sB, sTB),
+                check_rep=False,
+            )
+            self._run_sharded = jax.jit(f)
+        B = batch.ts.shape[1]
+        # globally distinct per-sequence keys, built OUTSIDE the shard
+        base_keys = jax.random.split(jax.random.PRNGKey(17), B)
+        if self.mesh is not None:
+            base_keys = jax.device_put(
+                base_keys, NamedSharding(self.mesh, P(self.axis)))
+        return self._run_sharded(trk_states, est_states, batch, base_keys)
 
 
 def stack_states(pipes) -> Tuple:
