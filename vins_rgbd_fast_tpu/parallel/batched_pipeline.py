@@ -266,18 +266,23 @@ class BatchedVioRunner:
         if self._run_sharded is None:
             try:
                 from jax import shard_map
+                vma_kw = {"check_vma": False}
             except ImportError:  # older jax
                 from jax.experimental.shard_map import shard_map
+                vma_kw = {"check_rep": False}
             from jax.sharding import PartitionSpec as P_
 
             ax = self.axis
             sB = P_(ax)
             sTB = P_(None, ax)
+            # vma/rep checking off: inner lax.scan carries start as
+            # unvarying constants and become axis-varying after step 1,
+            # which the strict VMA type check rejects
             f = shard_map(
                 self._run_impl, mesh=self.mesh,
                 in_specs=(sB, sB, sTB, sB),
                 out_specs=(sB, sB, sTB),
-                check_rep=False,
+                **vma_kw,
             )
             self._run_sharded = jax.jit(f)
         B = batch.ts.shape[1]
