@@ -92,10 +92,12 @@ def _render(seq, rig, seed=0):
 
 
 def _apply_envelope(pipe):
-    """Throughput envelope shared by both modes: 4 scored LM candidates +
-    LK 12/6 iteration caps — validated ATE-neutral on the noise-grid
-    sensitivity sweep (docs/PERFORMANCE.md), not just on the bench scene."""
-    si = int(os.environ.get("BENCH_SOLVER_ITERS", "4"))
+    """Throughput envelope shared by both modes: 2 scored LM candidates +
+    LK 12/6 iteration caps — validated ATE-neutral across the full
+    degradation grid (scripts/sweep_ate.py → sweep_ate.json: LM∈{2,4,8}
+    identical ATE at off/mild/harsh sensor degradation; LK 12 beats 8 and
+    matches 16 in the mean), NOT just on the clean bench scene."""
+    si = int(os.environ.get("BENCH_SOLVER_ITERS", "2"))
     if si:
         pipe.estimator.cfg = dc.replace(pipe.estimator.cfg, max_iters=si)
     lkf = int(os.environ.get("BENCH_LK_ITERS", "12"))
