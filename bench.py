@@ -303,6 +303,8 @@ def run_batched() -> dict:
         out["loop_ms"] = round(loop_ms, 1)
         out["loops_found"] = int(closer.n_loops)
         out["seg_fps"] = [round(f, 1) for f in seg_fps]
+        out["loop_phase_ms"] = {k[3:]: v for k, v in loop_stats.items()
+                                if k.startswith("ms_")}
     return out
 
 

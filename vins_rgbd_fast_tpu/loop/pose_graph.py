@@ -96,6 +96,9 @@ def _extract_kf_device(cfg: PoseGraphConfig, cam: CameraModel,
     else:
         score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
     H, W = img.shape
+    # flat top-k keeps global strongest-response selection (a per-grid
+    # quota was measured ATE/retrieval-worse and NOT faster: the top_k is
+    # ~0.05 ms of the ~17 ms extractor dispatch — BRIEF sampling dominates)
     flat = score.reshape(-1)
     vals, idx = jax.lax.top_k(flat, cfg.max_kp)
     ys = (idx // W).astype(jnp.float32)
@@ -589,6 +592,7 @@ class PoseGraph:
         detect_loop: bool = True,
         scores: Optional[np.ndarray] = None,
         append_db: bool = True,
+        optimize_now: bool = True,
     ) -> Optional[dict]:
         """``add_keyframe`` with features already extracted (the batched
         loop closer extracts every keyframe of a scan segment in one
@@ -597,7 +601,12 @@ class PoseGraph:
         ``scores``: optional precomputed raw retrieval scores over the DB
         (from ``detect_scores_batch``); otherwise queried here.
         ``append_db=False`` defers the descriptor-DB append to the caller
-        (``_db_append_block`` at segment end)."""
+        (``_db_append_block`` at segment end).
+        ``optimize_now=False`` defers the PGO to the caller (one
+        ``optimize()`` per segment instead of per loop event — the
+        reference's optimize4DoF thread likewise wakes on a 2 s cadence,
+        ``pose_graph.cpp:410-581``, so corrections between wakeups ride the
+        drift composition exactly as here)."""
         cfg = self.cfg
         idx = len(self.keyframes)
         # map the incoming vio pose (and its landmarks) into the map frame
@@ -633,10 +642,12 @@ class PoseGraph:
         self.keyframes.append(kf)
         if append_db:
             self._db_append(kf.kp_desc, kf.kp_valid)
-        if loop_info is not None:
+        if loop_info is not None and optimize_now:
             self.optimize()
         else:
             # keep the corrected trajectory extended with current drift
+            # (when the PGO is deferred, the pending loop's correction
+            # lands at the caller's next optimize() — reference cadence)
             self.corrected[idx] = self.apply_drift(kf.P_vio, kf.Q_vio)
         return loop_info
 

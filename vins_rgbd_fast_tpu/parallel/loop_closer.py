@@ -91,11 +91,16 @@ class BatchedLoopCloser:
         steady-state with ZERO loops) — (1) the small gating inputs, then
         (2) one fetch of the gathered keyframe subset + extraction +
         per-sequence retrieval scores together."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         # sync 1: gating inputs (is_keyframe flags + positions + stamps)
         is_kf, P_all, ts = jax.device_get(
             (outs.is_keyframe, outs.P, batch.ts))
         is_kf, P_all, ts = np.asarray(is_kf), np.asarray(P_all), np.asarray(ts)
         T, B = ts.shape
+
+        _t_sync1 = _time.perf_counter()
 
         sel = []  # (k, b) in frame order
         for b in range(B):
@@ -136,10 +141,12 @@ class BatchedLoopCloser:
                     kp_valid_d[jnp.asarray(idxs)],
                     float(self.cfg.score_dist))
 
+        _t_disp = _time.perf_counter()
         # sync 2: everything the host path needs, in one fetch
         (kp_uv, kp_norm, kp_valid, kp_desc, wp_desc), wp_world, wp_norm, \
             wp_valid, Qh, scores_h = jax.device_get(
                 (ext, wp_world_d, wp_norm_d, wp_valid_d, Q_d, scores_d))
+        _t_sync2 = _time.perf_counter()
         kp_uv, kp_norm, kp_valid = (np.asarray(a) for a in
                                     (kp_uv, kp_norm, kp_valid))
         kp_desc, wp_desc = np.asarray(kp_desc), np.asarray(wp_desc)
@@ -150,9 +157,13 @@ class BatchedLoopCloser:
                          for j, i in enumerate(idxs)}
 
         # sequential host processing (cheap: poses + thresholds; PnP only on
-        # retrieval hits), then ONE deferred DB append per sequence
+        # retrieval hits), then ONE deferred DB append per sequence and ONE
+        # deferred PGO per sequence-with-loops (each optimize() costs a
+        # dispatch + readback; the reference's optimize4DoF thread batches
+        # loop events on a 2 s cadence the same way)
         n_loops = 0
         pend: dict = {}
+        looped: set = set()
         for i in range(K):
             k, b = int(ks[i]), int(bs[i])
             g = self.graphs[b]
@@ -162,17 +173,31 @@ class BatchedLoopCloser:
                 np.asarray(wp_world[i]), np.asarray(wp_norm[i]),
                 np.asarray(wp_valid[i]),
                 kp_uv[i], kp_norm[i], kp_valid[i], kp_desc[i], wp_desc[i],
-                scores=scores[b][i], append_db=False,
+                scores=scores[b][i], append_db=False, optimize_now=False,
             )
             pend.setdefault(b, []).append(i)
             if info is not None:
                 n_loops += 1
+                looped.add(b)
         for b, idxs in pend.items():
             self.graphs[b]._db_append_block(kp_desc[idxs], kp_valid[idxs])
+        for b in looped:
+            self.graphs[b].optimize()
 
         self.n_keyframes += K
         self.n_loops += n_loops
-        return dict(n_keyframes=K, n_loops=n_loops)
+        _t_end = _time.perf_counter()
+        return dict(
+            n_keyframes=K, n_loops=n_loops,
+            # phase breakdown (ms): sync1 = gating readback, dispatch =
+            # gather+extract+score dispatch (async), sync2 = bulk readback
+            # (includes waiting out the device work), host = pose-graph
+            # bookkeeping + PGO + deferred DB appends
+            ms_sync1=round(1e3 * (_t_sync1 - _t0), 1),
+            ms_dispatch=round(1e3 * (_t_disp - _t_sync1), 1),
+            ms_sync2=round(1e3 * (_t_sync2 - _t_disp), 1),
+            ms_host=round(1e3 * (_t_end - _t_sync2), 1),
+        )
 
     # ------------------------------------------------------------------
     def corrected_path(self, b: int) -> list:
