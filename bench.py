@@ -262,22 +262,47 @@ def run_batched() -> dict:
     if closer is not None:  # compiles extraction/scoring programs
         closer.consume(batches[0], outs_w)
 
+    overlap = os.environ.get("BENCH_OVERLAP", "1") != "0" and closer is not None
     seg_fps, seg_loop_ms = [], []
     loop_stats = None
-    for k in range(1, n_seg):
-        t0 = time.perf_counter()
-        trk_states, est_states, outs = runner.run(trk_states, est_states,
-                                                  batches[k])
-        jax.block_until_ready(est_states.x.P)
-        t_scan = time.perf_counter()
-        if closer is not None:
-            loop_stats = closer.consume(batches[k], outs)
-        elapsed = time.perf_counter() - t0
-        seg_fps.append(T * B / elapsed if elapsed > 0 else 0.0)
-        seg_loop_ms.append(1000.0 * (time.perf_counter() - t_scan))
-    fps = seg_fps[-1]
-    loop_ms = seg_loop_ms[-1]
-    n_timed = T * B
+    if overlap:
+        # pipelined steady state (the reference's concurrent pose_graph
+        # nodelet): segment k's scan executes on-device WHILE the host
+        # closes loops on segment k-1 — consume_dispatch(k-1) is enqueued
+        # before scan k, so consume_finish(k-1) waits only the extraction,
+        # and the pose-graph host work rides under the scan.
+        pend = None
+        t_all0 = time.perf_counter()
+        for k in range(1, n_seg):
+            t0 = time.perf_counter()
+            trk_states, est_states, outs = runner.run(trk_states, est_states,
+                                                      batches[k])
+            if pend is not None:
+                loop_stats = closer.consume_finish(pend)
+            pend = closer.consume_dispatch(batches[k], outs)
+            seg_fps.append(T * B / (time.perf_counter() - t0))
+        t_drain = time.perf_counter()
+        loop_stats = closer.consume_finish(pend) or loop_stats
+        closer.flush()
+        elapsed_all = time.perf_counter() - t_all0
+        loop_ms = 1000.0 * (time.perf_counter() - t_drain)  # exposed tail only
+        fps = T * B * (n_seg - 1) / elapsed_all
+        n_timed = T * B * (n_seg - 1)
+    else:
+        for k in range(1, n_seg):
+            t0 = time.perf_counter()
+            trk_states, est_states, outs = runner.run(trk_states, est_states,
+                                                      batches[k])
+            jax.block_until_ready(est_states.x.P)
+            t_scan = time.perf_counter()
+            if closer is not None:
+                loop_stats = closer.consume(batches[k], outs)
+            elapsed = time.perf_counter() - t0
+            seg_fps.append(T * B / elapsed if elapsed > 0 else 0.0)
+            seg_loop_ms.append(1000.0 * (time.perf_counter() - t_scan))
+        fps = seg_fps[-1]
+        loop_ms = seg_loop_ms[-1] if seg_loop_ms else 0.0
+        n_timed = T * B
 
     # accuracy: ATE of EVERY sequence over the last timed span (mean/max)
     host = jax.device_get(outs)

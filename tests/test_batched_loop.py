@@ -72,13 +72,22 @@ def test_batched_loop_closure_equivalent_to_sequential():
         pipes[0].cam, pipes[0].vcfg.ric_matrix(),
         pipes[0].vcfg.tic_vector(), B, pg_cfg)
 
+    # drive segments in the bench's PIPELINED pattern: segment k+1's scan
+    # is dispatched between consume_dispatch(k) and consume_finish(k) (the
+    # pose graph runs concurrently with the estimator, as the reference's
+    # two nodelets do) — results must be identical to serial consume()
     segments = []
+    pend = None
     for s0 in range(warmup, n_frames, seg_len):
         s1 = min(s0 + seg_len, n_frames)
         batch = bp.stage_frames(pipes, frames, s0, s1)
         trk, st, outs = runner.run(trk, st, batch)
-        stats = closer.consume(batch, outs)
-        segments.append((batch, jax.device_get(outs), stats))
+        if pend is not None:
+            closer.consume_finish(pend)
+        pend = closer.consume_dispatch(batch, outs)
+        segments.append((batch, jax.device_get(outs), None))
+    closer.consume_finish(pend)
+    closer.flush()
 
     # (a) the revisit sequence must close loops through the batched path
     g0 = closer.graphs[0]

@@ -517,18 +517,22 @@ class PoseGraph:
             jnp.asarray(valid), jnp.asarray(self._db_size, jnp.int32))
         self._db_size += 1
 
-    def _db_append_block(self, descs: np.ndarray, valids: np.ndarray):
-        """Append K keyframes in ONE dispatch (segment-deferred appends)."""
-        descs = np.asarray(descs, np.int8)
-        valids = np.asarray(valids, bool)
-        k = min(descs.shape[0], self.cfg.max_keyframes - self._db_size)
+    def _db_append_block(self, descs, valids):
+        """Append K keyframes in ONE dispatch (segment-deferred appends).
+        Accepts host OR device arrays — device inputs stay on device (the
+        batched loop closer appends the extractor's still-resident
+        descriptors with zero host round-trip)."""
+        if not isinstance(descs, jax.Array):
+            descs = jnp.asarray(np.asarray(descs, np.int8))
+            valids = jnp.asarray(np.asarray(valids, bool))
+        k = min(int(descs.shape[0]), self.cfg.max_keyframes - self._db_size)
         if k <= 0:
             return
         descs, valids = descs[:k], valids[:k]
-        self._ensure_capacity(self._db_size + k, descs.shape[1:])
+        self._ensure_capacity(self._db_size + k, tuple(descs.shape[1:]))
         self._dev_db, self._dev_valid = _db_update_block(
-            self._dev_db, self._dev_valid, jnp.asarray(descs),
-            jnp.asarray(valids), jnp.asarray(self._db_size, jnp.int32))
+            self._dev_db, self._dev_valid, descs.astype(jnp.int8),
+            valids.astype(bool), jnp.asarray(self._db_size, jnp.int32))
         self._db_size += k
 
     def detect_scores_batch(self, descs: np.ndarray,

@@ -61,8 +61,25 @@ class BatchedLoopCloser:
         self.skip_dis = skip_dis
         self._skip_count = [0] * batch
         self._travel_anchor: List[Optional[np.ndarray]] = [None] * batch
+        # previous segment's descriptors, still device-resident: flushed
+        # into the per-sequence DBs at the START of the next dispatch (same
+        # one-segment scoring deferral as before, zero host round-trip)
+        self._pending_append = None
         self.n_keyframes = 0
         self.n_loops = 0
+
+    # ------------------------------------------------------------------
+    def flush(self):
+        """Flush the last segment's deferred descriptor-DB appends (call
+        once after the final consume/consume_finish if the per-sequence
+        graphs will be saved or queried directly)."""
+        if self._pending_append is None:
+            return
+        desc_d, valid_d, by_seq = self._pending_append
+        self._pending_append = None
+        for b, idxs in by_seq.items():
+            self.graphs[b]._db_append_block(
+                desc_d[jnp.asarray(idxs)], valid_d[jnp.asarray(idxs)])
 
     # ------------------------------------------------------------------
     def _gate(self, b: int, is_kf: bool, P: np.ndarray) -> bool:
@@ -90,10 +107,30 @@ class BatchedLoopCloser:
         version of this method paid ~15 of them (measured 1.1 s/segment
         steady-state with ZERO loops) — (1) the small gating inputs, then
         (2) one fetch of the gathered keyframe subset + extraction +
-        per-sequence retrieval scores together."""
+        per-sequence retrieval scores together.
+
+        Split into :meth:`consume_dispatch` (sync 1 + device dispatches)
+        and :meth:`consume_finish` (sync 2 + host pose-graph work) so a
+        caller can interleave the NEXT segment's scan dispatch between the
+        two halves — the pose graph then runs concurrently with the
+        estimator exactly like the reference's two nodelets
+        (``pose_graph_nodelet.cpp:449-566``): the device executes segment
+        k+1 while the host closes loops on segment k."""
+        return self.consume_finish(self.consume_dispatch(batch, outs))
+
+    # ------------------------------------------------------------------
+    def consume_dispatch(self, batch: FrameBatch, outs: ScanOutputs):
+        """First half: gating readback (sync 1) + all device dispatches
+        (keyframe gather, batched extraction, per-sequence retrieval
+        scoring).  Returns an opaque pending token for
+        :meth:`consume_finish`; device work proceeds asynchronously."""
         import time as _time
 
         _t0 = _time.perf_counter()
+        # flush the PREVIOUS segment's deferred DB appends before scoring —
+        # scoring therefore always sees segments ≤ k-1, exactly as the
+        # serial consume() did when appends ran at finish-time
+        self.flush()
         # sync 1: gating inputs (is_keyframe flags + positions + stamps)
         is_kf, P_all, ts = jax.device_get(
             (outs.is_keyframe, outs.P, batch.ts))
@@ -108,7 +145,7 @@ class BatchedLoopCloser:
                 if self._gate(b, bool(is_kf[k, b]), P_all[k, b]):
                     sel.append((k, b))
         if not sel:
-            return dict(n_keyframes=0, n_loops=0)
+            return None
         K = len(sel)
         Kp = _pad_pow2(K)
         ks = np.asarray([s[0] for s in sel] + [0] * (Kp - K))
@@ -142,10 +179,31 @@ class BatchedLoopCloser:
                     float(self.cfg.score_dist))
 
         _t_disp = _time.perf_counter()
+        return dict(
+            ext=ext, wp_world_d=wp_world_d, wp_norm_d=wp_norm_d,
+            wp_valid_d=wp_valid_d, Q_d=Q_d, scores_d=scores_d,
+            by_seq=by_seq, ks=ks, bs=bs, K=K, ts=ts, P_all=P_all,
+            t0=_t0, t_sync1=_t_sync1, t_disp=_t_disp,
+        )
+
+    # ------------------------------------------------------------------
+    def consume_finish(self, pend) -> dict:
+        """Second half: the bulk readback (sync 2) + sequential host
+        pose-graph processing, deferred DB appends, and one PGO per
+        sequence-with-loops."""
+        import time as _time
+
+        if pend is None:
+            return dict(n_keyframes=0, n_loops=0)
+        ext, scores_d, by_seq = pend["ext"], pend["scores_d"], pend["by_seq"]
+        ks, bs, K = pend["ks"], pend["bs"], pend["K"]
+        ts, P_all = pend["ts"], pend["P_all"]
+        _t0, _t_sync1, _t_disp = pend["t0"], pend["t_sync1"], pend["t_disp"]
         # sync 2: everything the host path needs, in one fetch
         (kp_uv, kp_norm, kp_valid, kp_desc, wp_desc), wp_world, wp_norm, \
             wp_valid, Qh, scores_h = jax.device_get(
-                (ext, wp_world_d, wp_norm_d, wp_valid_d, Q_d, scores_d))
+                (ext, pend["wp_world_d"], pend["wp_norm_d"],
+                 pend["wp_valid_d"], pend["Q_d"], scores_d))
         _t_sync2 = _time.perf_counter()
         kp_uv, kp_norm, kp_valid = (np.asarray(a) for a in
                                     (kp_uv, kp_norm, kp_valid))
@@ -162,7 +220,6 @@ class BatchedLoopCloser:
         # dispatch + readback; the reference's optimize4DoF thread batches
         # loop events on a 2 s cadence the same way)
         n_loops = 0
-        pend: dict = {}
         looped: set = set()
         for i in range(K):
             k, b = int(ks[i]), int(bs[i])
@@ -175,12 +232,12 @@ class BatchedLoopCloser:
                 kp_uv[i], kp_norm[i], kp_valid[i], kp_desc[i], wp_desc[i],
                 scores=scores[b][i], append_db=False, optimize_now=False,
             )
-            pend.setdefault(b, []).append(i)
             if info is not None:
                 n_loops += 1
                 looped.add(b)
-        for b, idxs in pend.items():
-            self.graphs[b]._db_append_block(kp_desc[idxs], kp_valid[idxs])
+        # defer this segment's DB appends (device-resident descriptors) to
+        # the next dispatch's flush() — or an explicit final flush()
+        self._pending_append = (ext[3], ext[2], by_seq)
         for b in looped:
             self.graphs[b].optimize()
 
