@@ -282,7 +282,8 @@ def run_batched() -> dict:
             pend = closer.consume_dispatch(batches[k], outs)
             seg_fps.append(T * B / (time.perf_counter() - t0))
         t_drain = time.perf_counter()
-        loop_stats = closer.consume_finish(pend) or loop_stats
+        fin = closer.consume_finish(pend)
+        loop_stats = fin if fin.get("n_keyframes") else (loop_stats or fin)
         closer.flush()
         elapsed_all = time.perf_counter() - t_all0
         loop_ms = 1000.0 * (time.perf_counter() - t_drain)  # exposed tail only
