@@ -47,3 +47,40 @@ def test_static_shape_knobs():
     assert cfg.frames == 11
     cam = cfg.camera()
     assert cam.width == 640
+
+
+def test_load_calibrated_kb_and_mei_yaml(tmp_path):
+    """write_camera_yaml output for NON-pinhole models must round-trip
+    through load_config + VinsConfig.camera() (camodocal writers emit
+    model-specific projection_parameters keys — no fx/fy for KB/Mei)."""
+    from vins_rgbd_fast_tpu.models import camera as cm
+
+    kb = tmp_path / "kb.yaml"
+    kb.write_text(
+        "%YAML:1.0\n---\nmodel_type: KANNALA_BRANDT\ncamera_name: kb\n"
+        "image_width: 640\nimage_height: 480\n"
+        "projection_parameters:\n"
+        "   k2: -0.01\n   k3: 0.002\n   k4: -0.0003\n   k5: 0.00004\n"
+        "   mu: 350.0\n   mv: 352.0\n   u0: 321.0\n   v0: 239.0\n")
+    cfg = load_config(str(kb))
+    assert cfg.intrinsics == (350.0, 352.0, 321.0, 239.0)
+    assert cfg.kb_distortion == (-0.01, 0.002, -0.0003, 0.00004)
+    cam = cfg.camera()
+    assert isinstance(cam.params, cm.EquidistantParams)
+    assert cam.params.mu == 350.0 and cam.params.k5 == 0.00004
+
+    mei = tmp_path / "mei.yaml"
+    mei.write_text(
+        "%YAML:1.0\n---\nmodel_type: MEI\ncamera_name: mei\n"
+        "image_width: 640\nimage_height: 480\n"
+        "mirror_parameters:\n   xi: 0.9\n"
+        "distortion_parameters:\n"
+        "   k1: -0.05\n   k2: 0.01\n   p1: 0.0\n   p2: 0.0\n"
+        "projection_parameters:\n"
+        "   gamma1: 860.0\n   gamma2: 856.0\n   u0: 318.0\n   v0: 242.0\n")
+    cfg = load_config(str(mei))
+    assert cfg.intrinsics == (860.0, 856.0, 318.0, 242.0)
+    assert cfg.mirror_xi == 0.9
+    cam = cfg.camera()
+    assert isinstance(cam.params, cm.MeiParams)
+    assert cam.params.xi == 0.9 and cam.params.gamma1 == 860.0

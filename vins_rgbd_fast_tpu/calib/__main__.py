@@ -39,12 +39,17 @@ def main(argv=None) -> int:
     # offline tool, tiny problem sizes: run on CPU unless explicitly asked
     # (also keeps the CLI usable while a bench/training process holds the
     # TPU — the axon plugin admits one client at a time)
+    import jax
+
     if os.environ.get("VINS_CALIB_TPU", "0") != "1":
-        import jax
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    # refine() runs its LM in float64 — the normal equations mix fx²-scale
+    # and 1e-4-scale entries and the damping floor (1e-12) is below f32
+    # epsilon, so without x64 real runs can stall at the Zhang init
+    jax.config.update("jax_enable_x64", True)
 
     from ..io.tum import _decode_png
     from .chessboard import find_chessboard

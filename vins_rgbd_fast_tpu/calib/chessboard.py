@@ -144,10 +144,17 @@ def order_grid(uv: np.ndarray, rows: int, cols: int,
             keys = (gi[ok, 1] * cols + gi[ok, 0]).astype(int)
             if len(np.unique(keys)) != n:
                 continue
-            err = float(res[ok].mean())
+            # clutter can snap onto an occupied node (ok.sum() > n with
+            # unique count still n): keep the LOWEST-residual point per
+            # node, never last-write-wins
+            res_ok = res[ok]
+            order = np.argsort(-res_ok)  # worst first -> best written last
+            out = np.zeros((n, 2))
+            out[keys[order]] = uv[ok][order]
+            kept = np.full(n, np.inf)
+            np.minimum.at(kept, keys, res_ok)
+            err = float(kept.mean())
             if best is None or err < best[0]:
-                out = np.zeros((n, 2))
-                out[keys] = uv[ok]
                 best = (err, out)
     return None if best is None else best[1]
 

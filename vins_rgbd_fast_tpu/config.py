@@ -98,6 +98,12 @@ class VinsConfig:
     window_size: int = 10
     focal_length: float = 460.0
 
+    # --- non-pinhole camera extras (camodocal YAML passthrough) ---
+    # KANNALA_BRANDT: intrinsics = (mu, mv, u0, v0), kb_distortion = (k2..k5)
+    # MEI: intrinsics = (gamma1, gamma2, u0, v0), distortion = radtan, + xi
+    kb_distortion: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    mirror_xi: float = 0.0
+
     # --- TPU-specific static shape knobs (no reference analog) ---
     max_features: int = 0  # 0 -> derived: max_cnt rounded up to a lane multiple
     max_imu_per_frame: int = 32  # IMU samples per image interval (200Hz/20Hz=10; padded)
@@ -121,16 +127,32 @@ class VinsConfig:
         return self.window_size + 1
 
     def camera(self) -> CameraModel:
-        if self.model_type.upper() == "PINHOLE":
-            fx, fy, cx, cy = self.intrinsics
+        mt = self.model_type.upper()
+        a, b, c, d = self.intrinsics
+        if mt == "PINHOLE":
             k1, k2, p1, p2 = self.distortion
             return make_camera(
-                "PINHOLE", fx=fx, fy=fy, cx=cx, cy=cy, k1=k1, k2=k2, p1=p1, p2=p2,
+                "PINHOLE", fx=a, fy=b, cx=c, cy=d, k1=k1, k2=k2, p1=p1, p2=p2,
+                width=self.image_width, height=self.image_height,
+            )
+        if mt in ("KANNALA_BRANDT", "EQUIDISTANT"):
+            k2, k3, k4, k5 = self.kb_distortion
+            return make_camera(
+                "KANNALA_BRANDT", mu=a, mv=b, u0=c, v0=d,
+                k2=k2, k3=k3, k4=k4, k5=k5,
+                width=self.image_width, height=self.image_height,
+            )
+        if mt == "MEI":
+            k1, k2, p1, p2 = self.distortion
+            return make_camera(
+                "MEI", xi=self.mirror_xi, gamma1=a, gamma2=b, u1=c, v1=d,
+                k1=k1, k2=k2, p1=p1, p2=p2,
                 width=self.image_width, height=self.image_height,
             )
         raise NotImplementedError(
-            f"config-level construction only wires PINHOLE (all bundled rigs); "
-            f"build {self.model_type} via models.make_camera directly"
+            f"config-level construction wires PINHOLE/KANNALA_BRANDT/MEI; "
+            f"build {self.model_type} (OCAM polynomial YAML differs) via "
+            f"models.make_camera directly"
         )
 
     def ric_matrix(self) -> np.ndarray:
@@ -216,15 +238,37 @@ def load_config(path: str) -> VinsConfig:
         skip_cnt=int(get("skip_cnt", 0)),
         output_path=str(get("output_path", "output")),
     )
+    # intrinsics mapping is model-dependent (camodocal YAML writers emit
+    # different projection_parameters keys per model — PinholeCamera /
+    # EquidistantCamera / CataCamera ::writeParametersToYamlFile)
     if proj:
-        kwargs["intrinsics"] = (
-            float(proj["fx"]), float(proj["fy"]), float(proj["cx"]), float(proj["cy"]),
-        )
+        if "fx" in proj:  # PINHOLE
+            kwargs["intrinsics"] = (
+                float(proj["fx"]), float(proj["fy"]),
+                float(proj["cx"]), float(proj["cy"]),
+            )
+        elif "mu" in proj:  # KANNALA_BRANDT
+            kwargs["intrinsics"] = (
+                float(proj["mu"]), float(proj["mv"]),
+                float(proj["u0"]), float(proj["v0"]),
+            )
+            kwargs["kb_distortion"] = (
+                float(proj.get("k2", 0)), float(proj.get("k3", 0)),
+                float(proj.get("k4", 0)), float(proj.get("k5", 0)),
+            )
+        elif "gamma1" in proj:  # MEI
+            kwargs["intrinsics"] = (
+                float(proj["gamma1"]), float(proj["gamma2"]),
+                float(proj["u0"]), float(proj["v0"]),
+            )
     if dist:
         kwargs["distortion"] = (
             float(dist.get("k1", 0)), float(dist.get("k2", 0)),
             float(dist.get("p1", 0)), float(dist.get("p2", 0)),
         )
+    mirror = raw.get("mirror_parameters", {})
+    if mirror:
+        kwargs["mirror_xi"] = float(mirror.get("xi", 0.0))
     if "extrinsicRotation" in raw and raw.get("estimate_extrinsic", 0) != 2:
         kwargs["ric"] = tuple(_as_matrix(raw["extrinsicRotation"]).ravel().tolist())
     if "extrinsicTranslation" in raw and raw.get("estimate_extrinsic", 0) != 2:

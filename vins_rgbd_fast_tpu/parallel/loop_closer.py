@@ -115,8 +115,15 @@ class BatchedLoopCloser:
         two halves — the pose graph then runs concurrently with the
         estimator exactly like the reference's two nodelets
         (``pose_graph_nodelet.cpp:449-566``): the device executes segment
-        k+1 while the host closes loops on segment k."""
-        return self.consume_finish(self.consume_dispatch(batch, outs))
+        k+1 while the host closes loops on segment k.
+
+        Serial ``consume()`` flushes its own DB appends before returning,
+        so the per-sequence graphs are immediately saveable/queryable;
+        only pipelined dispatch/finish callers carry a pending append
+        (and must call :meth:`flush` after the final finish)."""
+        out = self.consume_finish(self.consume_dispatch(batch, outs))
+        self.flush()
+        return out
 
     # ------------------------------------------------------------------
     def consume_dispatch(self, batch: FrameBatch, outs: ScanOutputs):
@@ -236,7 +243,10 @@ class BatchedLoopCloser:
                 n_loops += 1
                 looped.add(b)
         # defer this segment's DB appends (device-resident descriptors) to
-        # the next dispatch's flush() — or an explicit final flush()
+        # the next dispatch's flush() — or an explicit final flush().  If a
+        # pending append is still queued (two finishes without an
+        # intervening dispatch), flush it first instead of dropping it.
+        self.flush()
         self._pending_append = (ext[3], ext[2], by_seq)
         for b in looped:
             self.graphs[b].optimize()
