@@ -46,7 +46,7 @@ def _rig():
                             cx=320.0, cy=240.0, imu_rate=200.0, frame_rate=20.0)
 
 
-def _cfg(rig, seq):
+def _cfg(rig, seq, keyframe_parallax: float = 10.0):
     from vins_rgbd_fast_tpu.config import VinsConfig
 
     return VinsConfig(
@@ -59,6 +59,7 @@ def _cfg(rig, seq):
         fix_depth=True, depth_max_dist=12.0,
         acc_n=0.1, gyr_n=0.01, acc_w=1e-4, gyr_w=1e-5,
         max_imu_per_frame=32,
+        keyframe_parallax=keyframe_parallax,
     )
 
 
@@ -180,6 +181,14 @@ def run_batched() -> dict:
     per-frame pipeline (tracker + depth + backend) fused, vmapped over B
     and lax.scan-ned over frames — one dispatch for the entire timed run.
 
+    Loop closure is priced HONESTLY: half the batch flies revisit
+    trajectories so loops actually fire inside the timed region
+    (find-connection PnP + PGO included), every one-time program is
+    compiled during the UNTIMED warm segment (``compile_warmup``), and the
+    headline is total timed frames / total wall time INCLUDING the final
+    loop-closure drain — nothing is excluded; `seg_fps` host intervals are
+    diagnostics only (pipeline-shifted).
+
     Per-sequence warmup runs the normal host pipeline until steady state;
     the scanned runner then takes over with zero host work per frame."""
     import jax
@@ -191,19 +200,39 @@ def run_batched() -> dict:
     from vins_rgbd_fast_tpu.parallel import batched_pipeline as bp
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "89"))
+    # default keeps T = (frames - warmup) / n_seg = 18 frames/segment — the
+    # scanned program compiles per static T, so tweaks to segment count
+    # should preserve T to reuse the compile cache
+    n_frames = int(os.environ.get("BENCH_FRAMES", "122"))
     warmup = 14  # fill window + init + settle
     with_loop = os.environ.get("BENCH_LOOP", "1") != "0"
-    # 1 warm + (n_seg-1) timed segments; the LAST segment is the reported
-    # steady state — the first timed segment pays the one-time compiles of
-    # the loop-closure programs (find-connection/PGO only trace once loops
-    # actually fire, which an empty-DB warm segment cannot)
-    n_seg = max(int(os.environ.get("BENCH_SEGMENTS", "3")), 2)
+    # 1 warm + (n_seg-1) timed segments
+    n_seg = max(int(os.environ.get("BENCH_SEGMENTS", "6")), 2)
+    # revisit sequences: out-and-back sideways sweeps that re-observe
+    # earlier regions, so loop detection + find-connection + PGO run (and
+    # are priced) inside the timed region — without them "loop closure on"
+    # only prices extraction + retrieval scoring
+    n_revisit = int(os.environ.get("BENCH_REVISIT", str(B // 2))) \
+        if with_loop else 0
+    # keyframe cadence: the sweeps peak at ~7 px parallax, so the default
+    # 10 px admits almost nothing — 3 px keeps a realistic keyframe stream
+    # flowing to the pose graph (the closer's travel-distance gate then
+    # thins it like the reference nodelet's SKIP_DIS)
+    kf_parallax = float(os.environ.get("BENCH_KF_PARALLAX", "3.0"))
+    # reference nodelet default SKIP_DIS=0: every estimator keyframe feeds
+    # the pose graph
+    skip_dis = float(os.environ.get("BENCH_SKIP_DIS", "0.0"))
 
     rig = _rig()
-    seqs = [syn.make_trajectory(n_frames, rig, seed=100 + b, omega_scale=0.15,
-                                acc_scale=0.3) for b in range(B)]
-    cfgs = [_cfg(rig, s) for s in seqs]
+    seqs = [
+        syn.make_revisit_trajectory(n_frames, rig, seed=200 + b, accel=1.5,
+                                    axis=(0.0, 1.0, 0.0), cycles=2)
+        if b < n_revisit else
+        syn.make_trajectory(n_frames, rig, seed=100 + b, omega_scale=0.15,
+                            acc_scale=0.3)
+        for b in range(B)
+    ]
+    cfgs = [_cfg(rig, s, keyframe_parallax=kf_parallax) for s in seqs]
 
     # pre-render device-resident frames per sequence
     frames = []
@@ -238,15 +267,24 @@ def run_batched() -> dict:
         # loop closure rides the batched path: keyframes exported by the
         # scan feed per-sequence pose graphs between segments (the
         # reference's concurrent pose_graph nodelet) — its cost is INSIDE
-        # the timed region
+        # the timed region.  Fixed pads + PGO floors keep every segment on
+        # the SAME compiled programs; thresholds follow the loop tests
+        # (recency 8 suits the short synthetic runs; reference default 50
+        # stands for real maps).
         from vins_rgbd_fast_tpu.loop.pose_graph import PoseGraphConfig
         from vins_rgbd_fast_tpu.parallel.loop_closer import BatchedLoopCloser
 
         ecfg = pipes[0].estimator.cfg
-        pg_cfg = PoseGraphConfig(max_wp=ecfg.maxf)
+        pg_cfg = PoseGraphConfig(
+            max_wp=ecfg.maxf,
+            recency_exclusion=int(os.environ.get("BENCH_RECENCY", "8")),
+            score_best=0.10, score_second=0.03,
+            pad_nodes_min=64, pad_edges_min=512,
+        )
         closer = BatchedLoopCloser(
             pipes[0].cam, pipes[0].vcfg.ric_matrix(),
-            pipes[0].vcfg.tic_vector(), B, pg_cfg)
+            pipes[0].vcfg.tic_vector(), B, pg_cfg,
+            skip_dis=skip_dis, k_pad=64, seq_pad=16)
 
     # staged segments: segment 0 compiles+warms the scan program; later
     # segments (different data, same shapes) are timed; the LAST is the
@@ -259,36 +297,60 @@ def run_batched() -> dict:
     trk_states, est_states, outs_w = runner.run(trk_states, est_states,
                                                 batches[0])
     jax.block_until_ready(est_states.x.P)
-    if closer is not None:  # compiles extraction/scoring programs
+    if closer is not None:
+        # warm segment: real consume (compiles extraction/scoring at the
+        # production pads) + ghost replay compiling the non-empty-DB query,
+        # padded appends, find-connection PnP, and the PGO — so ZERO
+        # one-time compiles land in the timed region
         closer.consume(batches[0], outs_w)
+        closer.compile_warmup(batches[0], outs_w)
 
     overlap = os.environ.get("BENCH_OVERLAP", "1") != "0" and closer is not None
     seg_fps, seg_loop_ms = [], []
     loop_stats = None
     if overlap:
-        # pipelined steady state (the reference's concurrent pose_graph
-        # nodelet): segment k's scan executes on-device WHILE the host
-        # closes loops on segment k-1 — consume_dispatch(k-1) is enqueued
-        # before scan k, so consume_finish(k-1) waits only the extraction,
-        # and the pose-graph host work rides under the scan.
-        pend = None
+        # 2-deep pipelined steady state (the reference's concurrent
+        # pose_graph nodelet): scan k+1 is dispatched BEFORE segment k's
+        # loop-closure dispatch and before segment k-1's finish, so the
+        # device never idles — the host's gating readback waits only the
+        # already-finished scan k, and the finish readback waits only an
+        # extraction that queued ahead of scan k+1.
+        #
+        # HONEST headline: total timed frames / total wall INCLUDING the
+        # final drain (the last segment's loop-closure tail) — nothing is
+        # excluded.  Host-loop intervals are device-pipeline-shifted, so
+        # `seg_fps` is a diagnostic, not the metric.
+        pend_fin = None   # dispatch token awaiting consume_finish
+        prev = None       # (batch, outs) awaiting consume_dispatch
+        stats_acc = []
         t_all0 = time.perf_counter()
+        t_seg = t_all0
         for k in range(1, n_seg):
-            t0 = time.perf_counter()
             trk_states, est_states, outs = runner.run(trk_states, est_states,
                                                       batches[k])
-            if pend is not None:
-                loop_stats = closer.consume_finish(pend)
-            pend = closer.consume_dispatch(batches[k], outs)
-            seg_fps.append(T * B / (time.perf_counter() - t0))
+            tok = closer.consume_dispatch(*prev) if prev is not None else None
+            if pend_fin is not None:
+                stats_acc.append(closer.consume_finish(pend_fin))
+            pend_fin = tok
+            prev = (batches[k], outs)
+            now = time.perf_counter()
+            seg_fps.append(T * B / (now - t_seg))
+            t_seg = now
+        # drain: the final segment's loop-closure work (exposed tail)
         t_drain = time.perf_counter()
-        fin = closer.consume_finish(pend)
-        loop_stats = fin if fin.get("n_keyframes") else (loop_stats or fin)
+        tok = closer.consume_dispatch(*prev)
+        if pend_fin is not None:
+            stats_acc.append(closer.consume_finish(pend_fin))
+        stats_acc.append(closer.consume_finish(tok))
         closer.flush()
         elapsed_all = time.perf_counter() - t_all0
-        loop_ms = 1000.0 * (time.perf_counter() - t_drain)  # exposed tail only
-        fps = T * B * (n_seg - 1) / elapsed_all
+        loop_ms = 1000.0 * (time.perf_counter() - t_drain)  # exposed tail
+        loop_stats = next((s for s in reversed(stats_acc)
+                           if s.get("n_keyframes")), stats_acc[-1])
         n_timed = T * B * (n_seg - 1)
+        fps = n_timed / elapsed_all  # drain-inclusive aggregate
+        fps_all = fps
+        seg_fps = seg_fps[1:]  # first host interval is pure dispatch
     else:
         for k in range(1, n_seg):
             t0 = time.perf_counter()
@@ -302,6 +364,7 @@ def run_batched() -> dict:
             seg_fps.append(T * B / elapsed if elapsed > 0 else 0.0)
             seg_loop_ms.append(1000.0 * (time.perf_counter() - t_scan))
         fps = seg_fps[-1]
+        fps_all = None
         loop_ms = seg_loop_ms[-1] if seg_loop_ms else 0.0
         n_timed = T * B
 
@@ -324,13 +387,29 @@ def run_batched() -> dict:
         "frames": n_timed,
         "loop_closure": bool(closer is not None),
     }
+
     if loop_stats is not None:
-        out["loop_kf"] = int(loop_stats["n_keyframes"])
+        out["loop_kf"] = int(closer.n_keyframes)
         out["loop_ms"] = round(loop_ms, 1)
         out["loops_found"] = int(closer.n_loops)
+        out["revisit_sequences"] = n_revisit
         out["seg_fps"] = [round(f, 1) for f in seg_fps]
         out["loop_phase_ms"] = {k[3:]: v for k, v in loop_stats.items()
                                 if k.startswith("ms_")}
+        # loop-corrected keyframe trajectory accuracy vs ground truth on
+        # the revisit sequences (the VIO `ate_m` above never sees the
+        # pose-graph corrections)
+        lates = []
+        for b in range(n_revisit):
+            path = closer.graphs[b].path()
+            if len(path) >= 5:
+                a = io_stream.ate_rmse(
+                    [p[0] for p in path], [p[1] for p in path],
+                    seqs[b].times, seqs[b].P, align=False)
+                if np.isfinite(a):
+                    lates.append(float(a))
+        if lates:
+            out["loop_ate_m"] = round(float(np.mean(lates)), 4)
     return out
 
 

@@ -130,3 +130,62 @@ def test_tum_directory_roundtrip(tmp_path):
     travelled = np.sum(np.linalg.norm(np.diff(seq.P, axis=0), axis=1))
     assert np.isfinite(ate)
     assert ate < max(0.06 * travelled, 0.1), (ate, travelled)
+
+
+def test_compressed_bag_roundtrip_to_trajectory(tmp_path):
+    """CompressedImage transport end-to-end: PNG-compressed gray +
+    compressedDepth PNG payloads through the native bag parser →
+    decode_compressed_image → pipeline → trajectory (the reference's
+    Atlas200 compressed-topic deployment, doc/RUNNING_PROCEDURE.md,
+    launch/atlas200/{img2compressed,compressed2img}.launch)."""
+    from vins_rgbd_fast_tpu.io.rosbag import (BagReader,
+                                              decode_compressed_image,
+                                              replay_into_pipeline)
+    from vins_rgbd_fast_tpu.runtime import bag_lib
+
+    if bag_lib() is None:
+        pytest.skip("native bag reader unavailable")
+
+    n = 22
+    seq = syn.make_trajectory(n, RIG, seed=9, omega_scale=0.15, acc_scale=0.3)
+    msgs = []
+    for (t, a, w) in seq.imu:
+        msgs.append(("/imu", "sensor_msgs/Imu", t,
+                     writers.serialize_imu(t, a, w)))
+    first_gray = None
+    for (t, img, depth) in syn.frames(seq, RIG):
+        gray = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+        if first_gray is None:
+            first_gray = gray
+        dmm = np.clip(np.asarray(depth) * 1000.0, 0, 65535).astype(np.uint16)
+        msgs.append(("/cam/image/compressed", "sensor_msgs/CompressedImage",
+                     t, writers.serialize_compressed_image(t, gray)))
+        msgs.append(("/cam/depth/compressedDepth",
+                     "sensor_msgs/CompressedImage", t,
+                     writers.serialize_compressed_image(
+                         t, dmm, depth_transport=True)))
+    msgs.sort(key=lambda m: m[2])
+    bag_path = str(tmp_path / "compressed.bag")
+    writers.write_rosbag(bag_path, msgs, chunk_size=256 * 1024)
+
+    bag = BagReader(bag_path)
+    assert bag.topics()["/cam/image/compressed"] == "sensor_msgs/CompressedImage"
+    # exact decode: PNG round trip is lossless
+    for topic, stamp, payload in bag.messages():
+        if topic == "/cam/image/compressed":
+            t0, fmt, img0 = decode_compressed_image(payload)
+            assert fmt == "png"
+            np.testing.assert_array_equal(img0.astype(np.uint8), first_gray)
+            break
+
+    pipe = VinsPipeline(_cfg(seq), dtype=jnp.float32, eager_outputs=False,
+                        failure_check_interval=10 ** 9)
+    replay_into_pipeline(bag, pipe, "/cam/image", "/cam/depth", "/imu")
+    while pipe.spin_once() is not None:
+        pass
+    traj = pipe.estimator.trajectory
+    assert len(traj) >= 10, f"only {len(traj)} outputs from compressed replay"
+    ate = io_stream.ate_rmse(
+        [r["t"] for r in traj], [r["P"] for r in traj],
+        seq.times, seq.P, align=False)
+    assert np.isfinite(ate) and ate < 0.1, ate

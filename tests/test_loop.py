@@ -481,7 +481,9 @@ def test_device_db_scale_and_horizon():
     # so the double-threshold two-peak test can accept (detectLoop's
     # acceptance REQUIRES a second nearby peak)
     probe = 400
-    for nb in (probe - 1, probe + 1):
+    # EVEN offsets: the saturation compaction later in this test subsamples
+    # odd older-half slots, and the two-peak acceptance needs survivors
+    for nb in (probe - 2, probe + 2):
         d = descs[probe].copy()
         flip = rng.random(d.shape) < 0.05
         d[flip] = -d[flip]
@@ -496,7 +498,7 @@ def test_device_db_scale_and_horizon():
                                    valids[probe:probe + 1])
     assert scores.shape[1] == g._dev_db.shape[0]
     # probe and its similar neighbors saturate; ties break to the earliest
-    assert int(np.argmax(scores[0, :1050])) in (probe - 1, probe, probe + 1)
+    assert int(np.argmax(scores[0, :1050])) in (probe - 2, probe, probe + 2)
     assert scores[0, probe] > 0.99
     # horizon masking via _detect_from_scores: candidate beyond the
     # recency exclusion is accepted, too-recent is masked
@@ -505,10 +507,27 @@ def test_device_db_scale_and_horizon():
     masked = scores[0].copy()
     cand = g._detect_from_scores(masked, query_index=probe + 10)
     assert cand is None or cand < probe + 10 - cfg.recency_exclusion
-    # storage cap: appends beyond max_keyframes are dropped
+    # storage cap: an overflow append triggers COMPACTION (keep newest
+    # half + subsample the rest, loop-involved keyframes pinned) instead
+    # of silently freezing the map
+    g.loops.append(dict(cur=900, old=3, rel_t=np.zeros(3), rel_yaw=0.0))
     g._db_append_block(descs[:100], valids[:100])
-    assert g._db_size == 1100
-    assert g._dev_db.shape[0] == 1100 or g._dev_db.shape[0] >= g._db_size
+    assert g._db_size <= 1100
+    assert g.db_evicted > 0
+    idx = g._db_index
+    assert len(idx) == g._db_size
+    assert (np.diff(idx) > 0).all(), "slot->index map must stay sorted"
+    # loop-involved old keyframe survived the compaction
+    assert 3 in idx and 900 in idx
+    # the probe region is still retrievable and maps back to ORIGINAL
+    # keyframe indices through the compacted slots
+    scores2 = g.detect_scores_batch(descs[probe:probe + 1],
+                                    valids[probe:probe + 1])
+    slot = int(np.argmax(scores2[0, :g._db_size]))
+    assert int(idx[slot]) in (probe - 2, probe, probe + 2)
+    g.keyframes = [None] * (int(idx[-1]) + 1)
+    cand = g._accept_from_scores(scores2[0])
+    assert cand in (probe - 2, probe, probe + 2)
 
 
 def test_brief_matmul_equals_gather_sampling():
@@ -532,3 +551,20 @@ def test_brief_matmul_equals_gather_sampling():
 
     old = np.stack([old_one(uv[i]) for i in range(24)])
     np.testing.assert_array_equal(new, old)
+
+
+def test_brief_pattern_imports_reference_file():
+    """When the reference's ``support_files/brief_pattern.yml`` is present
+    the module must sample the IMPORTED pattern (keyframe.cpp:580-598), not
+    the generated fallback — and the YAML parser must round-trip it."""
+    import os
+
+    from vins_rgbd_fast_tpu.loop import brief
+
+    if not os.path.exists(brief.REFERENCE_PATTERN):
+        pytest.skip("reference pattern file not mounted")
+    pat = brief.load_pattern_yml(brief.REFERENCE_PATTERN)
+    assert pat.shape == (256, 4)
+    assert np.abs(pat).max() <= brief.PATCH_HALF
+    np.testing.assert_array_equal(np.asarray(brief._PATTERN_NP), pat)
+    assert not np.array_equal(pat, brief.make_pattern())

@@ -219,3 +219,37 @@ def test_marginalize_new_drops_pose_info():
     np.testing.assert_allclose(last_pose_cols, 0.0, atol=1e-10)
     # info on the remaining frames is preserved (nonzero)
     assert np.abs(J[:, :POSE_DIM * WINDOW_SIZE]).max() > 1e-3
+
+
+def test_relo_remap_by_feature_id():
+    """Relo observations are keyed by FEATURE ID: rows recycled between
+    keyframe export and relo injection must re-bind to wherever the id
+    lives in the CURRENT table — and ids that left the table drop out
+    (reference matches by id, estimator.cpp:1307-1346)."""
+    import jax.numpy as jnp
+
+    from vins_rgbd_fast_tpu.ops import solver as slv
+
+    maxf = 6
+    pts = np.zeros((maxf, 2))
+    pts[0] = (0.5, 0.5)   # id 5
+    pts[1] = (0.9, -0.1)  # id 9
+    pts[2] = (0.7, 0.7)   # id 7 (will have left the table)
+    relo = slv.ReloData(
+        active=jnp.asarray(True),
+        match_pts=jnp.asarray(pts),
+        match_valid=jnp.asarray([True, True, True, False, False, False]),
+        match_ids=jnp.asarray([5, 9, 7, -1, -1, -1], jnp.int32),
+        P=jnp.zeros(3), Q=jnp.asarray([1.0, 0, 0, 0]),
+    )
+    # table since export: id 5 moved row 0 -> 2, id 9 -> row 0, id 7 gone,
+    # row 1 recycled to a NEW feature id 12 (must NOT inherit id 7's obs)
+    table_ids = jnp.asarray([9, 12, 5, -1, 3, -1], jnp.int32)
+    out = slv.remap_relo_by_id(relo, table_ids)
+    valid = np.asarray(out.match_valid)
+    np.testing.assert_array_equal(valid, [True, False, True, False, False, False])
+    np.testing.assert_allclose(np.asarray(out.match_pts)[0], (0.9, -0.1))
+    np.testing.assert_allclose(np.asarray(out.match_pts)[2], (0.5, 0.5))
+    np.testing.assert_allclose(np.asarray(out.match_pts)[1], (0.0, 0.0))
+    ids = np.asarray(out.match_ids)
+    assert ids[0] == 9 and ids[2] == 5 and ids[1] == -1

@@ -154,3 +154,44 @@ def test_parallel_admission_matches_sequential_greedy():
                                    isnew, rounds=16)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=f"seed {seed}")
+
+
+def test_fisheye_mask_file_non_circular(tmp_path):
+    """A mask IMAGE (not the analytic circle) must gate detections and
+    kill tracks — the reference loads config/fisheye_mask.jpg and
+    intersects it in setMask (feature_tracker.cpp:173-208).  Uses a
+    non-circular (left-half-valid) mask so the analytic-circle fallback
+    cannot pass by accident."""
+    import dataclasses
+
+    from vins_rgbd_fast_tpu.io.writers import write_png
+
+    mask = np.zeros((H, W), np.uint8)
+    mask[:, : W // 2] = 255  # left half valid
+    path = str(tmp_path / "mask.png")
+    write_png(path, mask)
+    cfg = dataclasses.replace(CFG, fisheye=True, fisheye_mask_path=path)
+    state = ft.init_state(cfg)
+    eye = jnp.eye(3)
+    for k in range(3):
+        state, out = ft.track_frame(cfg, CAM, state, _scene(k * 0.1),
+                                    jnp.asarray(k * 0.1), eye,
+                                    jax.random.PRNGKey(k))
+    ids = np.asarray(out.features.ids)
+    uv = np.asarray(out.features.uv)
+    sel = ids >= 0
+    assert sel.sum() >= 10, "mask killed everything"
+    assert np.all(uv[sel, 0] < W // 2 + 1), "feature outside the mask"
+
+
+def test_fisheye_mask_resize_to_frame():
+    """Reference masks ship at 512x512; loading must resize to the rig
+    frame with a crisp boundary."""
+    from vins_rgbd_fast_tpu.io.images import load_mask, resize_nearest
+
+    m = np.zeros((512, 512), np.float32)
+    m[:, :256] = 255.0
+    r = resize_nearest(m, H, W)
+    assert r.shape == (H, W)
+    assert (r[:, : W // 2 - 2] > 127).all()
+    assert (r[:, W // 2 + 2:] <= 127).all()

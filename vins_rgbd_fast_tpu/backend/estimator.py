@@ -452,6 +452,7 @@ class StepOutput(NamedTuple):
     wp_uv: jax.Array  # (MAXF, 2)
     wp_norm: jax.Array  # (MAXF, 2)
     wp_valid: jax.Array  # (MAXF,) bool
+    wp_ids: jax.Array  # (MAXF,) int32 feature ids (relo round-trip key)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -525,6 +526,11 @@ def _solve_and_slide(
                   if (cfg.use_imu and imu_data is not None) else None)
     td_free = (jnp.linalg.norm(st.x.V[0]) > 0.2).astype(dtype) if cfg.use_imu else None
 
+    if relo is not None:
+        # bind the relo observations to the CURRENT table rows by feature
+        # id (rows freed/recycled since keyframe export must not bind the
+        # wrong landmark — reference matches by id, estimator.cpp:1307-1346)
+        relo = slv.remap_relo_by_id(relo, st.table.ids)
     res = slv.solve(cfg.solver, st.x, vis, imu_data, st.prior, g, td_free,
                     relo, sqrt_infos=sqrt_infos)
     x_new = res.x
@@ -547,7 +553,7 @@ def _solve_and_slide(
     prior = jax.lax.cond(is_kf, m_old, m_new, st)
     st = st._replace(prior=prior)
 
-    wp_world, wp_uv, wp_norm, wp_valid = _window_points(st.x, st.table)
+    wp_world, wp_uv, wp_norm, wp_valid, wp_ids = _window_points(st.x, st.table)
     out = StepOutput(
         P=x_new.P[WINDOW_SIZE], Q=x_new.Q[WINDOW_SIZE], V=x_new.V[WINDOW_SIZE],
         Ba=x_new.Ba[WINDOW_SIZE], Bg=x_new.Bg[WINDOW_SIZE],
@@ -562,6 +568,7 @@ def _solve_and_slide(
                    else jnp.asarray(False)),
         relo_cur_P=x_new.P[WINDOW_SIZE - 1], relo_cur_Q=x_new.Q[WINDOW_SIZE - 1],
         wp_world=wp_world, wp_uv=wp_uv, wp_norm=wp_norm, wp_valid=wp_valid,
+        wp_ids=wp_ids,
     )
     st = st._replace(last_P=x_new.P[WINDOW_SIZE], last_Q=x_new.Q[WINDOW_SIZE])
     st = _slide(cfg, st, is_kf)
@@ -919,7 +926,7 @@ def vio_step(
 def _window_points(x: WindowState, t: FeatureTable):
     """Newest frame's depth-anchored landmarks (must run PRE-slide: the
     slide clears the newest slot's observations).  Returns
-    (wp_world (MAXF,3), wp_uv (MAXF,2), wp_norm (MAXF,2), valid)."""
+    (wp_world (MAXF,3), wp_uv (MAXF,2), wp_norm (MAXF,2), valid, ids)."""
     j = FRAMES - 1
     t_wc, R_wc = ftab.cam_poses(x.P, x.Q, x.tic, x.qic)
     s = t.start
@@ -930,7 +937,7 @@ def _window_points(x: WindowState, t: FeatureTable):
     valid = (
         ftab.active_rows(t) & (t.est_depth > 0) & t.obs_mask[:, j] & ~t.is_dynamic
     )
-    return p_w, t.uv[:, j], t.pts[:, j], valid
+    return p_w, t.uv[:, j], t.pts[:, j], valid, t.ids
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -1196,16 +1203,20 @@ class VinsEstimator:
         return dict(t=t_prev, P=P, Q=Q, V=V)
 
     def set_relo_frame(self, match_pts: np.ndarray, match_valid: np.ndarray,
+                       match_ids: np.ndarray,
                        P_old: np.ndarray, Q_old: np.ndarray):
         """Queue a relocalization constraint for the next solve (the
         reference's ``setReloFrame``, estimator.cpp:1728-1747).
 
-        ``match_pts``/``match_valid`` are aligned to feature-table rows
-        (the pose graph matches against ``keyframe_points`` exports)."""
+        ``match_ids`` are the FEATURE IDS of the matched points (exported
+        as ``StepOutput.wp_ids`` at keyframe time); the solve re-keys them
+        onto the current table by id — never by a possibly-recycled row
+        (reference matches by id, estimator.cpp:1307-1346)."""
         self._pending_relo = slv.ReloData(
             active=jnp.asarray(True),
             match_pts=jnp.asarray(match_pts, self.dtype),
             match_valid=jnp.asarray(match_valid),
+            match_ids=jnp.asarray(match_ids, jnp.int32),
             P=jnp.asarray(P_old, self.dtype),
             Q=jnp.asarray(Q_old, self.dtype),
         )
@@ -1295,6 +1306,7 @@ class VinsEstimator:
             wp_uv=np.asarray(host.wp_uv),
             wp_norm=np.asarray(host.wp_norm),
             wp_valid=np.asarray(host.wp_valid),
+            wp_ids=np.asarray(host.wp_ids),
         )
 
     @property

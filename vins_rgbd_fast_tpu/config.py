@@ -98,6 +98,9 @@ class VinsConfig:
     window_size: int = 10
     focal_length: float = 460.0
 
+    # --- fisheye mask (reference FISHEYE_MASK, parameters.cpp) ---
+    fisheye_mask: str = ""  # mask image path; "" + fisheye=1 -> analytic circle
+
     # --- non-pinhole camera extras (camodocal YAML passthrough) ---
     # KANNALA_BRANDT: intrinsics = (mu, mv, u0, v0), kb_distortion = (k2..k5)
     # MEI: intrinsics = (gamma1, gamma2, u0, v0), distortion = radtan, + xi
@@ -214,6 +217,7 @@ def load_config(path: str) -> VinsConfig:
         f_threshold=float(get("F_threshold", 1.0)),
         equalize=bool(get("equalize", 0)),
         fisheye=bool(get("fisheye", 0)),
+        fisheye_mask=str(get("fisheye_mask", "")),
         model_type=str(get("model_type", "PINHOLE")),
         image_width=int(get("image_width", 640)),
         image_height=int(get("image_height", 480)),
@@ -269,6 +273,14 @@ def load_config(path: str) -> VinsConfig:
     mirror = raw.get("mirror_parameters", {})
     if mirror:
         kwargs["mirror_xi"] = float(mirror.get("xi", 0.0))
+    if kwargs["fisheye"] and not kwargs["fisheye_mask"]:
+        import os
+        d = os.path.dirname(os.path.abspath(path))
+        for cand in (os.path.join(d, "fisheye_mask.jpg"),
+                     os.path.join(os.path.dirname(d), "fisheye_mask.jpg")):
+            if os.path.exists(cand):
+                kwargs["fisheye_mask"] = cand
+                break
     if "extrinsicRotation" in raw and raw.get("estimate_extrinsic", 0) != 2:
         kwargs["ric"] = tuple(_as_matrix(raw["extrinsicRotation"]).ravel().tolist())
     if "extrinsicTranslation" in raw and raw.get("estimate_extrinsic", 0) != 2:

@@ -29,9 +29,11 @@ mode vmap over it).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,15 @@ FOCAL_LENGTH = 460.0  # virtual focal for RANSAC mapping (parameters.h:13)
 BORDER_SIZE = 1  # inBorder margin (feature_tracker.cpp:97-103)
 
 
+@functools.lru_cache(maxsize=8)
+def _fisheye_mask(path: str, height: int, width: int) -> np.ndarray:
+    """Cached (H,W) bool FOV mask from an image file (loaded once per
+    config; embedded as a constant at trace time)."""
+    from ..io.images import load_mask
+
+    return load_mask(path, height, width)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrackerConfig:
     width: int
@@ -59,8 +70,10 @@ class TrackerConfig:
     f_threshold: float = 1.0
     fast_threshold: float = 10.0  # OpenCV FastFeatureDetector default
     equalize: bool = False
-    fisheye: bool = False  # circular FOV mask (reference fisheye_mask.jpg)
-    fisheye_radius_frac: float = 0.5  # mask radius as a fraction of min(H,W)
+    fisheye: bool = False  # FOV mask (reference fisheye_mask.jpg)
+    fisheye_radius_frac: float = 0.5  # analytic-circle radius (no mask file)
+    fisheye_mask_path: str = ""  # mask image path; "" -> analytic circle.
+    # The array is embedded as a trace-time constant (configs are static)
     use_imu_prediction: bool = True
     pyr_levels_predicted: int = 2  # cv maxLevel=1 (feature_tracker.cpp:302)
     pyr_levels_cold: int = 4  # cv maxLevel=3 (feature_tracker.cpp:309)
@@ -326,15 +339,24 @@ def track_frame(
     else:
         score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
     if cfg.fisheye:
-        # circular FOV mask: suppress detections and kill tracks outside
-        # (the reference loads a fisheye_mask image; setMask intersects it)
-        yy = jnp.arange(cfg.height, dtype=dtype)[:, None] - cfg.height / 2.0
-        xx = jnp.arange(cfg.width, dtype=dtype)[None, :] - cfg.width / 2.0
-        rad = cfg.fisheye_radius_frac * min(cfg.height, cfg.width)
-        in_fov = (yy * yy + xx * xx) < rad * rad
+        # FOV mask: suppress detections and kill tracks outside.  With a
+        # mask file configured this is the reference's FISHEYE_MASK
+        # intersected in setMask (feature_tracker.cpp:173-208); otherwise
+        # an analytic circle.  Either way the (H,W) mask is a trace-time
+        # constant — zero runtime cost beyond the elementwise select.
+        if cfg.fisheye_mask_path:
+            in_fov = jnp.asarray(_fisheye_mask(
+                cfg.fisheye_mask_path, cfg.height, cfg.width))
+        else:
+            yy = jnp.arange(cfg.height, dtype=dtype)[:, None] - cfg.height / 2.0
+            xx = jnp.arange(cfg.width, dtype=dtype)[None, :] - cfg.width / 2.0
+            rad = cfg.fisheye_radius_frac * min(cfg.height, cfg.width)
+            in_fov = (yy * yy + xx * xx) < rad * rad
         score = jnp.where(in_fov, score, 0.0)
-        d2c = (cur_pts - jnp.asarray([cfg.width / 2.0, cfg.height / 2.0], dtype))
-        tracked = tracked & (jnp.sum(d2c * d2c, axis=-1) < rad * rad)
+        pxi = jnp.clip(jnp.round(cur_pts).astype(jnp.int32),
+                       jnp.zeros(2, jnp.int32),
+                       jnp.asarray([cfg.width - 1, cfg.height - 1], jnp.int32))
+        tracked = tracked & in_fov[pxi[:, 1], pxi[:, 0]]
     cand_xy, cand_resp = fast_ops.grid_topk(
         score, cfg.grid_rows, cfg.grid_cols, cfg.cand_per_grid
     )

@@ -121,6 +121,36 @@ def decode_image(payload: bytes):
     return stamp, encoding, img
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_compressed_image(payload: bytes):
+    """sensor_msgs/CompressedImage -> (stamp, format, array).
+
+    The reference's documented multi-machine transport (Atlas200 replays
+    compressed topics, ``doc/RUNNING_PROCEDURE.md``,
+    ``launch/atlas200/{img2compressed,compressed2img}.launch``).  Handles
+    both plain image_transport payloads (JPEG/PNG bytes) and
+    compressed_depth_image_transport ("...; compressedDepth png"), whose
+    data prepends a 12-byte ConfigHeader before the PNG stream."""
+    from .images import decode_depth as _decode_png16
+    from .images import decode_gray
+
+    stamp, _, off = _read_header(payload, 0)
+    fmt, off = _read_string(payload, off)
+    (n,) = struct.unpack_from("<I", payload, off)
+    off += 4
+    data = payload[off:off + n]
+    if "compressedDepth" in fmt:
+        # compressed_depth_image_transport: ConfigHeader (format enum u32 +
+        # 2 f32 quantization params) then PNG-encoded 16UC1
+        body = data[12:] if not data.startswith(_PNG_MAGIC) else data
+        if not body.startswith(_PNG_MAGIC):
+            raise ValueError(f"compressedDepth payload is not PNG ({fmt!r})")
+        return stamp, fmt, _decode_png16(body)
+    return stamp, fmt, decode_gray(data)
+
+
 def to_grayscale(img: np.ndarray, encoding: str) -> np.ndarray:
     if img.ndim == 2:
         return img.astype(np.float32)
@@ -134,21 +164,42 @@ def to_grayscale(img: np.ndarray, encoding: str) -> np.ndarray:
 def replay_into_pipeline(bag: BagReader, pipeline, image_topic: str,
                          depth_topic: str, imu_topic: str,
                          max_messages: Optional[int] = None):
-    """Feed a bag into a VinsPipeline (offline, deterministic order)."""
+    """Feed a bag into a VinsPipeline (offline, deterministic order).
+
+    Raw AND compressed transports replay: topics typed
+    ``sensor_msgs/CompressedImage`` are decoded via PNG/JPEG (the
+    reference's Atlas200 compressed-topic deployment); matching also
+    accepts the ``<topic>/compressed`` naming convention."""
     from .stream import decode_depth
+
+    types = bag.topics()
+
+    def _match(topic, want):
+        return topic == want or topic == want + "/compressed" \
+            or topic == want + "/compressedDepth"
 
     count = 0
     for topic, stamp, payload in bag.messages():
         if max_messages is not None and count >= max_messages:
             break
         count += 1
+        compressed = types.get(topic, "") == "sensor_msgs/CompressedImage"
         if topic == imu_topic:
             t, acc, gyr = decode_imu(payload)
             pipeline.push_imu(t, acc, gyr)
-        elif topic == image_topic:
-            t, enc, img = decode_image(payload)
-            pipeline.push_image(t, to_grayscale(img, enc))
-        elif topic == depth_topic:
-            t, enc, img = decode_image(payload)
-            pipeline.push_depth(t, decode_depth(img, enc))
+        elif _match(topic, image_topic):
+            if compressed:
+                t, _, img = decode_compressed_image(payload)
+                pipeline.push_image(t, img.astype(np.float32))
+            else:
+                t, enc, img = decode_image(payload)
+                pipeline.push_image(t, to_grayscale(img, enc))
+        elif _match(topic, depth_topic):
+            if compressed:
+                t, _, img = decode_compressed_image(payload)
+                pipeline.push_depth(t, decode_depth(img.astype(np.uint16),
+                                                    "16UC1"))
+            else:
+                t, enc, img = decode_image(payload)
+                pipeline.push_depth(t, decode_depth(img, enc))
             pipeline.spin_once()

@@ -314,6 +314,54 @@ def make_trajectory(
     )
 
 
+def make_revisit_trajectory(
+    n_frames: int, rig: SyntheticRig = SyntheticRig(), seed: int = 0,
+    accel: float = 1.6, axis=(1.0, 0.0, 0.0), cycles: int = 1,
+    tic=(0.0, 0.0, 0.0),
+) -> SyntheticSequence:
+    """Oscillating out-and-back path that re-observes earlier regions —
+    the loop-closure scenario (the reference's pose graph only earns its
+    keep on revisits, ``pose_graph.cpp:308-393``).
+
+    Bang-bang world acceleration along ``axis``: each cycle is four equal
+    quarters (+A, −A, −A, +A), a triangle-wave position that returns to the
+    start with zero velocity every cycle.  Zero body rotation keeps the
+    analytically integrated IMU exact.  ``axis=(0,1,0)`` sweeps sideways
+    relative to the forward-looking camera (strong parallax → keyframes;
+    full view overlap on revisit → retrieval hits); the default +x moves
+    along the view axis like the pipeline-loop tests."""
+    rng = np.random.default_rng(seed)
+    T_per = 1.0 / rig.frame_rate
+    n_sub = max(int(round(rig.imu_rate / rig.frame_rate)), 1)
+    ax = np.asarray(axis, np.float64)
+    ax = ax / max(np.linalg.norm(ax), 1e-9)
+    A = accel * (0.85 + 0.3 * rng.random())  # per-seed amplitude variation
+    q = max(n_frames // (4 * cycles), 1)
+
+    P = [np.zeros(3)]
+    Q = [np.array([1.0, 0, 0, 0])]
+    V = [np.zeros(3)]
+    times = [0.0]
+    imu = [(0.0, G.copy(), np.zeros(3))]
+    for k in range(n_frames - 1):
+        sign = (1.0, -1.0, -1.0, 1.0)[(k // q) % 4]
+        a_w = sign * A * ax
+        P0, V0, t0 = P[-1], V[-1], times[-1]
+        for s in range(1, n_sub + 1):
+            t = T_per * s / n_sub
+            imu.append((t0 + t, a_w + G, np.zeros(3)))
+        P.append(P0 + V0 * T_per + 0.5 * a_w * T_per ** 2)
+        V.append(V0 + a_w * T_per)
+        Q.append(Q[-1].copy())
+        times.append(t0 + T_per)
+    return SyntheticSequence(
+        times=np.asarray(times), P=np.stack(P), Q=np.stack(Q), V=np.stack(V),
+        imu=imu,
+        ric=np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]]),
+        tic=np.asarray(tic, np.float64),
+    )
+
+
 def camera_pose(seq: SyntheticSequence, k: int):
     """World-from-camera pose of frame k."""
     R_wi = np.asarray(quat.q2R(jnp.asarray(seq.Q[k])))

@@ -89,9 +89,29 @@ def serialize_image(t: float, img: np.ndarray, encoding: str, seq: int = 0) -> b
     return out
 
 
+def serialize_compressed_image(t: float, img: np.ndarray, seq: int = 0,
+                               depth_transport: bool = False) -> bytes:
+    """sensor_msgs/CompressedImage with a PNG payload (the reference's
+    Atlas200 compressed transport, launch/atlas200/*).  With
+    ``depth_transport`` the payload follows compressed_depth_image_transport:
+    format "16UC1; compressedDepth png" and a 12-byte ConfigHeader before
+    the PNG stream."""
+    out = _ros_header(t, seq, "cam")
+    if depth_transport:
+        out += _ros_string("16UC1; compressedDepth png")
+        data = struct.pack("<Iff", 0, 0.0, 0.0) + encode_png(
+            np.ascontiguousarray(img, np.uint16))
+    else:
+        out += _ros_string("png")
+        data = encode_png(np.ascontiguousarray(img, np.uint8))
+    out += struct.pack("<I", len(data)) + data
+    return out
+
+
 _MSG_MD5 = {
     "sensor_msgs/Imu": "6a62c6daae103f4ff57a132d6f95cec2",
     "sensor_msgs/Image": "060021388200f6f0f447d0fcd9c64743",
+    "sensor_msgs/CompressedImage": "8f7a12909da2c9d3332d540a0977563f",
 }
 
 
@@ -178,8 +198,8 @@ def write_rosbag(path: str, messages: Iterable[Tuple[str, str, float, bytes]],
 # ---------------------------------------------------------------------------
 
 
-def write_png(path: str, img: np.ndarray):
-    """Write a grayscale PNG (uint8 or uint16, big-endian sample order)."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a grayscale PNG (uint8 or uint16, big-endian sample order)."""
     h, w = img.shape
     if img.dtype == np.uint16:
         depth = 16
@@ -198,11 +218,14 @@ def write_png(path: str, img: np.ndarray):
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray):
+    """Write a grayscale PNG (uint8 or uint16, big-endian sample order)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(scan, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(img))
 
 
 def write_tum_sequence(root: str, frames, depth_scale: float = 5000.0,

@@ -6,11 +6,13 @@ comparisons with an imported test-pair pattern,
 its brute-force Hamming search (``keyframe.cpp:126-169``, threshold 80).
 
 TPU-native design:
-  * the test pattern is generated deterministically (isotropic Gaussian
-    pairs, the original BRIEF paper's GII layout) — byte parity with the
-    reference's pattern file is NOT required because the reference's
-    vocabulary blob is absent and retrieval is re-designed (see
-    keyframe_db.py);
+  * the test pattern is the REFERENCE'S ``support_files/brief_pattern.yml``
+    (imported at ``keyframe.cpp:580-598``) when that file is present —
+    descriptors are then directly comparable to the reference's; a
+    deterministically generated pattern (isotropic Gaussian pairs, the
+    original BRIEF paper's GII layout) is the standalone fallback
+    (``VINS_BRIEF_PATTERN`` overrides the path; ``=generated`` forces the
+    fallback);
   * descriptors for all keypoints of a frame are computed in one batched
     gather pass over the smoothed image;
   * Hamming distance D(a,b) = (256 − a±1·b±1)/2 — one int8 matmul on the
@@ -19,23 +21,56 @@ TPU-native design:
 
 from __future__ import annotations
 
+import os
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 N_BITS = 256
-PATCH_HALF = 24  # 48x48 sampling window like the reference pattern's extent
+PATCH_HALF = 24  # the reference pattern's offsets span [-24, 24]
+
+REFERENCE_PATTERN = "/root/reference/support_files/brief_pattern.yml"
 
 
 def make_pattern(seed: int = 7) -> np.ndarray:
     """(256, 4) int offsets (x1, y1, x2, y2), Gaussian pairs clipped to the
-    patch window."""
+    patch window (standalone fallback pattern)."""
     rng = np.random.default_rng(seed)
     pts = rng.normal(0.0, PATCH_HALF / 2.5, size=(N_BITS, 4))
     return np.clip(np.round(pts), -PATCH_HALF + 1, PATCH_HALF - 1).astype(np.int32)
 
 
-_PATTERN = jnp.asarray(make_pattern())
+def load_pattern_yml(path: str) -> np.ndarray:
+    """Parse a DVision BRIEF pattern file (OpenCV YAML with x1/y1/x2/y2
+    lists — the format ``BriefExtractor`` imports, keyframe.cpp:580-598)
+    into the (256, 4) offset layout."""
+    import yaml
+
+    text = re.sub(r"^%YAML:.*$", "", open(path).read(), flags=re.MULTILINE)
+    d = yaml.safe_load(text)
+    pat = np.stack([np.asarray(d[k], np.int32)
+                    for k in ("x1", "y1", "x2", "y2")], axis=1)
+    if pat.shape != (N_BITS, 4):
+        raise ValueError(f"pattern {path}: shape {pat.shape} != ({N_BITS}, 4)")
+    if np.abs(pat).max() > PATCH_HALF:
+        raise ValueError(f"pattern {path}: offsets exceed ±{PATCH_HALF}")
+    return pat
+
+
+def _select_pattern() -> np.ndarray:
+    p = os.environ.get("VINS_BRIEF_PATTERN", REFERENCE_PATTERN)
+    if p and p != "generated" and os.path.exists(p):
+        try:
+            return load_pattern_yml(p)
+        except Exception:
+            pass
+    return make_pattern()
+
+
+_PATTERN_NP = _select_pattern()
+_PATTERN = jnp.asarray(_PATTERN_NP)
 
 
 def smooth(img: jax.Array) -> jax.Array:
@@ -53,7 +88,7 @@ def _pattern_selectors():
     matmuls instead of 2·256 serialized gathers per keypoint (measured
     210 ms → ~10 ms for 32×(192 kp) images on a v5e)."""
     size = 2 * PATCH_HALF + 1
-    pat = make_pattern()
+    pat = _PATTERN_NP
     SA = np.zeros((size * size, N_BITS), np.float32)
     SB = np.zeros((size * size, N_BITS), np.float32)
     for k in range(N_BITS):

@@ -63,6 +63,11 @@ class PoseGraphConfig:
     recency_exclusion: int = 50  # detectLoop skips the last 50 keyframes
     min_loop_num: int = MIN_LOOP_NUM
     use_6dof: bool = False  # VO mode: full SE(3) graph (optimize6DoF)
+    # compile-stability floors for the PGO's power-of-two padding: raising
+    # them makes every optimize() in a run share ONE compiled program (the
+    # dense LM is tiny; padding is cheaper than a mid-run recompile)
+    pad_nodes_min: int = 8
+    pad_edges_min: int = 8
 
 
 class KeyFrameData(NamedTuple):
@@ -457,6 +462,9 @@ class PoseGraph:
         self._dev_db: Optional[jax.Array] = None  # (cap, max_kp, 256) int8
         self._dev_valid: Optional[jax.Array] = None  # (cap, max_kp) bool
         self._db_size = 0
+        # slot -> keyframe index (identity until a compaction; stays sorted)
+        self._db_index = np.zeros(0, np.int64)
+        self.db_evicted = 0  # keyframes evicted from retrieval by compaction
         self.loops: list = []  # dict(cur, old, rel_t, rel_yaw)
         self.earliest_loop_index: Optional[int] = None
         self.sequence = 1
@@ -476,6 +484,31 @@ class PoseGraph:
         # Without a loaded map all loops are intra-sequence and the flag is
         # never consulted.
         self.sequence_aligned = {0: True, 1: False}
+
+    # ------------------------------------------------------------------
+    def clone(self) -> "PoseGraph":
+        """Deep-enough copy for ghost replay (compile warm-up): shares no
+        mutable state with the original — device DB buffers are COPIED
+        because appends donate them (a shared buffer would be invalidated
+        under the original's feet)."""
+        g = PoseGraph(self.cfg, self.cam, self.ric, self.tic)
+        g.keyframes = list(self.keyframes)
+        if self._dev_db is not None:
+            g._dev_db = jnp.copy(self._dev_db)
+            g._dev_valid = jnp.copy(self._dev_valid)
+        g._db_size = self._db_size
+        g._db_index = self._db_index.copy()
+        g.db_evicted = self.db_evicted
+        g.loops = [dict(lp) for lp in self.loops]
+        g.earliest_loop_index = self.earliest_loop_index
+        g.sequence = self.sequence
+        g.yaw_drift = self.yaw_drift
+        g.t_drift = self.t_drift.copy()
+        g.corrected = dict(self.corrected)
+        g.w_r_vio = self.w_r_vio.copy()
+        g.w_t_vio = self.w_t_vio.copy()
+        g.sequence_aligned = dict(self.sequence_aligned)
+        return g
 
     # ------------------------------------------------------------------
     @property
@@ -506,8 +539,10 @@ class PoseGraph:
 
     def _db_append(self, desc: np.ndarray, valid: Optional[np.ndarray] = None):
         if self._db_size >= self.cfg.max_keyframes:
-            return  # storage cap: map stops growing (reference has no cap;
-            # ours is HBM-bounded and 8× the old practical limit)
+            # storage cap (HBM-bounded; the reference's map is unbounded):
+            # compact instead of silently freezing the map — keep every
+            # loop-involved keyframe + the newest half, subsample the rest
+            self._db_compact()
         desc = np.asarray(desc, np.int8)
         if valid is None:
             valid = np.any(desc != 0, axis=-1)
@@ -515,24 +550,83 @@ class PoseGraph:
         self._dev_db, self._dev_valid = _db_update(
             self._dev_db, self._dev_valid, jnp.asarray(desc),
             jnp.asarray(valid), jnp.asarray(self._db_size, jnp.int32))
+        self._db_index = np.append(self._db_index, self._next_db_index())
         self._db_size += 1
 
-    def _db_append_block(self, descs, valids):
+    def _next_db_index(self) -> int:
+        """Keyframe index the next DB slot stands for (appends track the
+        keyframe stream one-to-one, so this is last-index + 1)."""
+        return int(self._db_index[-1]) + 1 if len(self._db_index) else 0
+
+    def _db_compact(self):
+        """Evict retrieval rows at the storage cap: keep loop-involved
+        keyframes and the newest half, subsample the older half by 2 (one
+        device gather; the slot -> keyframe-index map keeps detection
+        consistent).  The map itself (``self.keyframes``) is untouched —
+        only retrieval candidacy is thinned."""
+        import logging
+
+        n = self._db_size
+        if n < 4:
+            return
+        half = n // 2
+        keep = np.zeros(n, bool)
+        keep[half:] = True
+        keep[:half:2] = True
+        looped = {lp["old"] for lp in self.loops} | {lp["cur"] for lp in self.loops}
+        if looped:
+            keep |= np.isin(self._db_index[:n], np.fromiter(looped, np.int64))
+        slots = np.nonzero(keep)[0]
+        k = len(slots)
+        if k >= n:  # nothing evictable
+            return
+        cap = self._dev_db.shape[0]
+        gathered = self._dev_db[jnp.asarray(slots)]
+        gathered_v = self._dev_valid[jnp.asarray(slots)]
+        db = jnp.zeros_like(self._dev_db).at[:k].set(gathered)
+        dbv = jnp.zeros_like(self._dev_valid).at[:k].set(gathered_v)
+        self._dev_db, self._dev_valid = db, dbv
+        self._db_index = self._db_index[slots]
+        self.db_evicted += n - k
+        self._db_size = k
+        logging.getLogger(__name__).warning(
+            "pose-graph retrieval DB hit max_keyframes=%d: compacted to %d "
+            "slots (%d evicted total); raise PoseGraphConfig.max_keyframes "
+            "to keep full candidacy", self.cfg.max_keyframes, k,
+            self.db_evicted)
+
+    def _db_append_block(self, descs, valids, count: Optional[int] = None):
         """Append K keyframes in ONE dispatch (segment-deferred appends).
         Accepts host OR device arrays — device inputs stay on device (the
         batched loop closer appends the extractor's still-resident
-        descriptors with zero host round-trip)."""
+        descriptors with zero host round-trip).
+
+        ``count``: number of REAL rows when ``descs`` is padded to a
+        compile-stable shape — padding rows are written then overwritten by
+        the next append (they sit at slots ≥ ``_db_size`` with zero valid
+        masks, so queries never score them)."""
         if not isinstance(descs, jax.Array):
             descs = jnp.asarray(np.asarray(descs, np.int8))
             valids = jnp.asarray(np.asarray(valids, bool))
-        k = min(int(descs.shape[0]), self.cfg.max_keyframes - self._db_size)
+        n = int(descs.shape[0]) if count is None else int(count)
+        if self._db_size + n > self.cfg.max_keyframes:
+            self._db_compact()
+        k = min(n, self.cfg.max_keyframes - self._db_size)
         if k <= 0:
             return
-        descs, valids = descs[:k], valids[:k]
-        self._ensure_capacity(self._db_size + k, tuple(descs.shape[1:]))
+        if self._db_size + int(descs.shape[0]) > self.cfg.max_keyframes:
+            # padded write would spill past the hard cap (where
+            # dynamic_update_slice clamps the start and corrupts earlier
+            # slots): fall back to an exact-size write
+            descs, valids = descs[:k], valids[:k]
+        self._ensure_capacity(self._db_size + int(descs.shape[0]),
+                              tuple(descs.shape[1:]))
         self._dev_db, self._dev_valid = _db_update_block(
             self._dev_db, self._dev_valid, descs.astype(jnp.int8),
             valids.astype(bool), jnp.asarray(self._db_size, jnp.int32))
+        start = self._next_db_index()
+        self._db_index = np.append(self._db_index,
+                                   np.arange(start, start + k))
         self._db_size += k
 
     def detect_scores_batch(self, descs: np.ndarray,
@@ -735,10 +829,11 @@ class PoseGraph:
         n_old = len(self.keyframes) - self.cfg.recency_exclusion
         if n_old <= 0 or self._dev_db is None:
             return None
+        slot_h = int(np.searchsorted(self._db_index, n_old))
         scores = np.asarray(_db_query(
             self._dev_db, self._dev_valid,
             jnp.asarray(kf.kp_desc), jnp.asarray(kf.kp_valid),
-            jnp.asarray(min(n_old, self._db_size), jnp.int32),
+            jnp.asarray(min(slot_h, self._db_size), jnp.int32),
             float(cfg.score_dist)))
         return self._accept_from_scores(scores)
 
@@ -747,11 +842,13 @@ class PoseGraph:
         """Host half of ``_detect_loop`` when raw scores were computed in a
         batched query: apply this query's recency horizon, then the same
         double-threshold acceptance."""
-        n_old = min(query_index - self.cfg.recency_exclusion, self._db_size)
-        if n_old <= 0:
+        n_old = query_index - self.cfg.recency_exclusion
+        slot_h = min(int(np.searchsorted(self._db_index, n_old)),
+                     self._db_size)
+        if slot_h <= 0:
             return None
         scores = scores.copy()
-        scores[n_old:] = -1.0
+        scores[slot_h:] = -1.0
         return self._accept_from_scores(scores)
 
     def _accept_from_scores(self, scores: np.ndarray) -> Optional[int]:
@@ -765,7 +862,9 @@ class PoseGraph:
         if not good:
             return None
         cands = [int(best)] + good
-        return min(cands)  # earliest index (reference takes min index)
+        slot = min(cands)  # earliest (reference takes min index)
+        # slot -> keyframe index (identity until a compaction)
+        return int(self._db_index[slot]) if slot < len(self._db_index) else slot
 
     # ------------------------------------------------------------------
     def _find_connection(self, cur: KeyFrameData, old: KeyFrameData) -> Optional[dict]:
@@ -850,10 +949,10 @@ class PoseGraph:
         return self.corrected.get(kf.index, (kf.P_vio, kf.Q_vio))
 
     @staticmethod
-    def _pad(n: int) -> int:
-        """Round node/edge counts up to a power of two so the jitted LM
-        programs compile O(log K) times over a run, not O(K) times."""
-        p = 8
+    def _pad(n: int, lo: int = 8) -> int:
+        """Round node/edge counts up to a power of two (≥ ``lo``) so the
+        jitted LM programs compile O(log K) times over a run, not O(K)."""
+        p = max(lo, 8)
         while p < n:
             p *= 2
         return p
@@ -868,7 +967,7 @@ class PoseGraph:
         K = len(nodes)
         if K < 2:
             return
-        Kpad = self._pad(K)
+        Kpad = self._pad(K, cfg.pad_nodes_min)
         # node arrays: yaw/t initialized from corrected poses (warm start /
         # consistency with fixed anchors); pitch/roll fixed from VIO (the
         # 4-DoF observability split — drift is yaw-only so they coincide)
@@ -916,7 +1015,7 @@ class PoseGraph:
         if cfg.use_6dof:
             self._optimize_6dof_impl(nodes, Kpad, valid, fixed, local)
             return
-        Epad = self._pad(E)
+        Epad = self._pad(E, cfg.pad_edges_min)
         ei = np.zeros(Epad, np.int32); ei[:E] = e_i
         ej = np.zeros(Epad, np.int32); ej[:E] = e_j
         ert = np.zeros((Epad, 3)); ert[:E] = np.asarray(e_rt)
@@ -989,7 +1088,7 @@ class PoseGraph:
         E = len(e_i)
         if E == 0:
             return
-        Epad = self._pad(E)
+        Epad = self._pad(E, cfg.pad_edges_min)
         ei = np.zeros(Epad, np.int32); ei[:E] = e_i
         ej = np.zeros(Epad, np.int32); ej[:E] = e_j
         ert = np.zeros((Epad, 3)); ert[:E] = np.asarray(e_rt)
@@ -1032,35 +1131,59 @@ class PoseGraph:
 
     # ------------------------------------------------------------------
     def save(self, path: str):
-        """Persist the pose graph (reference ``savePoseGraph``)."""
+        """Persist the pose graph (reference ``savePoseGraph``,
+        ``pose_graph.cpp:849-927``): keyframes with their CORRECTED poses,
+        the full loop-edge structure (rel_t, rel_q, rel_yaw, inlier
+        counts), ``earliest_loop_index`` and the drift — everything
+        ``load`` needs to re-enter the old constraints into optimization
+        (the reference rebuilds exactly this per keyframe from its txt
+        dump, ``loadPoseGraph`` :929-1044)."""
+        kfs = self.keyframes
+        corr = [self.corrected.get(k.index, (k.P_vio, k.Q_vio)) for k in kfs]
         np.savez_compressed(
             path,
-            n=len(self.keyframes),
-            index=np.asarray([k.index for k in self.keyframes]),
-            t=np.asarray([k.t for k in self.keyframes]),
-            sequence=np.asarray([k.sequence for k in self.keyframes]),
-            P_vio=np.stack([k.P_vio for k in self.keyframes]) if self.keyframes else np.zeros((0, 3)),
-            Q_vio=np.stack([k.Q_vio for k in self.keyframes]) if self.keyframes else np.zeros((0, 4)),
-            kp_uv=np.stack([k.kp_uv for k in self.keyframes]) if self.keyframes else np.zeros((0, 0, 2)),
-            kp_norm=np.stack([k.kp_norm for k in self.keyframes]) if self.keyframes else np.zeros((0, 0, 2)),
-            kp_valid=np.stack([k.kp_valid for k in self.keyframes]) if self.keyframes else np.zeros((0, 0)),
-            kp_desc=np.stack([k.kp_desc for k in self.keyframes]) if self.keyframes else np.zeros((0, 0, 256)),
-            loops=np.asarray(
-                [[lp["cur"], lp["old"], lp["rel_yaw"], *lp["rel_t"]] for lp in self.loops]
-            ) if self.loops else np.zeros((0, 6)),
+            version=2,
+            n=len(kfs),
+            index=np.asarray([k.index for k in kfs]),
+            t=np.asarray([k.t for k in kfs]),
+            sequence=np.asarray([k.sequence for k in kfs]),
+            P_vio=np.stack([k.P_vio for k in kfs]) if kfs else np.zeros((0, 3)),
+            Q_vio=np.stack([k.Q_vio for k in kfs]) if kfs else np.zeros((0, 4)),
+            P_corr=np.stack([np.asarray(c[0]) for c in corr]) if kfs else np.zeros((0, 3)),
+            Q_corr=np.stack([np.asarray(c[1]) for c in corr]) if kfs else np.zeros((0, 4)),
+            kp_uv=np.stack([k.kp_uv for k in kfs]) if kfs else np.zeros((0, 0, 2)),
+            kp_norm=np.stack([k.kp_norm for k in kfs]) if kfs else np.zeros((0, 0, 2)),
+            kp_valid=np.stack([k.kp_valid for k in kfs]) if kfs else np.zeros((0, 0)),
+            kp_desc=np.stack([k.kp_desc for k in kfs]) if kfs else np.zeros((0, 0, 256)),
+            loop_cur=np.asarray([lp["cur"] for lp in self.loops], np.int64),
+            loop_old=np.asarray([lp["old"] for lp in self.loops], np.int64),
+            loop_rel_t=(np.stack([lp["rel_t"] for lp in self.loops])
+                        if self.loops else np.zeros((0, 3))),
+            loop_rel_q=(np.stack([lp.get("rel_q", np.array([1.0, 0, 0, 0]))
+                                  for lp in self.loops])
+                        if self.loops else np.zeros((0, 4))),
+            loop_rel_yaw=np.asarray([lp["rel_yaw"] for lp in self.loops]),
+            loop_n_inliers=np.asarray(
+                [lp.get("n_inliers", 0) for lp in self.loops], np.int64),
+            earliest_loop_index=(-1 if self.earliest_loop_index is None
+                                 else self.earliest_loop_index),
             yaw_drift=self.yaw_drift,
             t_drift=self.t_drift,
         )
 
     def load(self, path: str):
-        """Rebuild keyframes + retrieval DB from disk (``loadPoseGraph``);
-        loaded keyframes join as sequence 0 (held fixed in optimization,
-        like the reference's base sequence)."""
+        """Rebuild keyframes + retrieval DB + LOOP EDGES from disk
+        (``loadPoseGraph``); loaded keyframes join as sequence 0 (held
+        fixed in optimization, like the reference's base sequence) at
+        their corrected poses.  Loading into a non-empty graph offsets
+        all indices past the existing keyframes."""
         data = np.load(path)
         n = int(data["n"])
+        off = len(self.keyframes)
+        has_corr = "P_corr" in data
         for i in range(n):
             kf = KeyFrameData(
-                index=len(self.keyframes), t=float(data["t"][i]),
+                index=off + i, t=float(data["t"][i]),
                 sequence=0,
                 P_vio=data["P_vio"][i], Q_vio=data["Q_vio"][i],
                 kp_uv=data["kp_uv"][i], kp_norm=data["kp_norm"][i],
@@ -1073,5 +1196,26 @@ class PoseGraph:
             )
             self.keyframes.append(kf)
             self._db_append(kf.kp_desc.astype(np.int8), kf.kp_valid)
+            if has_corr:
+                self.corrected[kf.index] = (np.asarray(data["P_corr"][i]),
+                                            np.asarray(data["Q_corr"][i]))
+        # rebuild the loop-edge structure so the next optimization still
+        # constrains the loaded map (reference re-enters every loaded
+        # loop_index/loop_info into its graph, pose_graph.cpp:989-1016)
+        if "loop_cur" in data:
+            for j in range(len(data["loop_cur"])):
+                self.loops.append(dict(
+                    cur=int(data["loop_cur"][j]) + off,
+                    old=int(data["loop_old"][j]) + off,
+                    rel_t=np.asarray(data["loop_rel_t"][j]),
+                    rel_q=np.asarray(data["loop_rel_q"][j]),
+                    rel_yaw=float(data["loop_rel_yaw"][j]),
+                    n_inliers=int(data["loop_n_inliers"][j]),
+                ))
+            eli = int(data["earliest_loop_index"])
+            if eli >= 0:
+                eli += off
+                if self.earliest_loop_index is None or eli < self.earliest_loop_index:
+                    self.earliest_loop_index = eli
         self.yaw_drift = float(data["yaw_drift"])
         self.t_drift = np.asarray(data["t_drift"])

@@ -117,11 +117,18 @@ class ImuData(NamedTuple):
 class ReloData(NamedTuple):
     """Fast-relocalization constraint (the reference's ``setReloFrame`` +
     relo factors, estimator.cpp:1307-1346, 1728-1747): matched old-keyframe
-    observations tie an extra optimizable pose to current-window landmarks."""
+    observations tie an extra optimizable pose to current-window landmarks.
+
+    Rows are keyed by FEATURE ID (``match_ids``), not table row: the
+    reference matches relo points to window features by id
+    (estimator.cpp:1307-1346) — table rows can be freed and recycled
+    between keyframe export and relo injection.  ``remap_relo_by_id``
+    aligns the constraint to the CURRENT table inside the solve."""
 
     active: jax.Array  # () bool
-    match_pts: jax.Array  # (MAXF, 2) old-frame normalized obs per feature row
+    match_pts: jax.Array  # (MAXF, 2) old-frame normalized obs per entry
     match_valid: jax.Array  # (MAXF,) bool
+    match_ids: jax.Array  # (MAXF,) int32 feature id per entry, -1 = unused
     P: jax.Array  # (3,) relo pose (optimized; init = old kf vio pose)
     Q: jax.Array  # (4,)
 
@@ -131,9 +138,24 @@ def empty_relo(maxf: int, dtype=jnp.float32) -> ReloData:
         active=jnp.asarray(False),
         match_pts=jnp.zeros((maxf, 2), dtype),
         match_valid=jnp.zeros((maxf,), bool),
+        match_ids=jnp.full((maxf,), -1, jnp.int32),
         P=jnp.zeros(3, dtype),
         Q=quat.q_identity(dtype),
     )
+
+
+def remap_relo_by_id(relo: ReloData, table_ids: jax.Array) -> ReloData:
+    """Re-key the relo constraint onto the CURRENT feature table by id
+    (one equality one-hot — the same trick as the tracker's velocity
+    matching).  Entries whose id left the table drop out; rows recycled
+    to a different feature since export never bind the wrong landmark."""
+    dtype = relo.match_pts.dtype
+    E = ((table_ids[:, None] == relo.match_ids[None, :])
+         & (table_ids >= 0)[:, None] & relo.match_valid[None, :])
+    pts = E.astype(dtype) @ relo.match_pts
+    valid = jnp.any(E, axis=1)
+    return relo._replace(match_pts=pts, match_valid=valid,
+                         match_ids=jnp.where(valid, table_ids, -1))
 
 
 # ---------------------------------------------------------------------------

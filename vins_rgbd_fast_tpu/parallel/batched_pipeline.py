@@ -70,6 +70,7 @@ class ScanOutputs(NamedTuple):
     wp_uv: jax.Array     # (T, B, MAXF, 2)
     wp_norm: jax.Array   # (T, B, MAXF, 2)
     wp_valid: jax.Array  # (T, B, MAXF)
+    wp_ids: jax.Array    # (T, B, MAXF) int32 feature ids
 
 
 def gyro_relative_R(dts: jax.Array, gyr: jax.Array, bg: jax.Array,
@@ -179,7 +180,8 @@ class BatchedVioRunner:
                               is_keyframe=sout.is_keyframe,
                               n_features=sout.n_features,
                               wp_world=sout.wp_world, wp_uv=sout.wp_uv,
-                              wp_norm=sout.wp_norm, wp_valid=sout.wp_valid)
+                              wp_norm=sout.wp_norm, wp_valid=sout.wp_valid,
+                              wp_ids=sout.wp_ids)
             return (trk, st, base_keys, step_idx + 1), out
 
         def run_impl(trk_states, est_states, batch: FrameBatch, base_keys):

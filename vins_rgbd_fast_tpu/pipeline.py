@@ -40,6 +40,7 @@ class VinsPipeline:
             fast_threshold=float(vcfg.fast_threshold),
             equalize=vcfg.equalize,
             fisheye=vcfg.fisheye,
+            fisheye_mask_path=vcfg.fisheye_mask,
             use_imu_prediction=vcfg.imu,
             lk_sampler="matmul",
         )
@@ -343,6 +344,7 @@ class VinsPipeline:
             old = self.pose_graph.keyframes[info["old"]]
             self.estimator.set_relo_frame(
                 info["matched_old_norm"], info["inlier_mask"],
+                np.asarray(out["wp_ids"]),  # id-keyed: rows may recycle
                 old.P_vio, old.Q_vio,
             )
             self._relo_sent_kf = info["cur"]
