@@ -13,8 +13,10 @@ its frontend input cap — 20-30 Hz on embedded CPUs (config frontend_freq,
 BASELINE.md).  vs_baseline = fps / 30.
 
 Env knobs: BENCH_MODE=both|batched|latency|recovery, BENCH_BATCH,
-BENCH_FRAMES, BENCH_SOLVER_ITERS, BENCH_LK_ITERS, BENCH_LK_COARSE,
-BENCH_FAILURE_CHECK, BENCH_LOOP (batched loop closure on/off, default on),
+BENCH_FRAMES, BENCH_SEGMENTS, BENCH_SOLVER_ITERS, BENCH_LK_ITERS,
+BENCH_LK_COARSE, BENCH_FAILURE_CHECK, BENCH_LOOP (batched loop closure
+on/off, default on), BENCH_REVISIT (revisit-trajectory count, default
+B/2), BENCH_KF_PARALLAX, BENCH_SKIP_DIS, BENCH_RECENCY,
 BENCH_DEGRADE=off|mild|harsh (sensor-realism presets).
 """
 
@@ -275,11 +277,15 @@ def run_batched() -> dict:
         from vins_rgbd_fast_tpu.parallel.loop_closer import BatchedLoopCloser
 
         ecfg = pipes[0].estimator.cfg
+        # pad floors must cover the RUN's maximum per-graph node/edge
+        # counts — crossing a power-of-two mid-run recompiles the PGO
+        # (tens of seconds through the remote-compile tunnel) and forks
+        # the graphs onto diverging shapes
         pg_cfg = PoseGraphConfig(
             max_wp=ecfg.maxf,
             recency_exclusion=int(os.environ.get("BENCH_RECENCY", "8")),
             score_best=0.10, score_second=0.03,
-            pad_nodes_min=64, pad_edges_min=512,
+            pad_nodes_min=128, pad_edges_min=1024,
         )
         closer = BatchedLoopCloser(
             pipes[0].cam, pipes[0].vcfg.ric_matrix(),
@@ -320,33 +326,25 @@ def run_batched() -> dict:
         # final drain (the last segment's loop-closure tail) — nothing is
         # excluded.  Host-loop intervals are device-pipeline-shifted, so
         # `seg_fps` is a diagnostic, not the metric.
-        pend_fin = None   # dispatch token awaiting consume_finish
-        prev = None       # (batch, outs) awaiting consume_dispatch
         stats_acc = []
         t_all0 = time.perf_counter()
         t_seg = t_all0
         for k in range(1, n_seg):
             trk_states, est_states, outs = runner.run(trk_states, est_states,
                                                       batches[k])
-            tok = closer.consume_dispatch(*prev) if prev is not None else None
-            if pend_fin is not None:
-                stats_acc.append(closer.consume_finish(pend_fin))
-            pend_fin = tok
-            prev = (batches[k], outs)
+            st = closer.pipeline_advance(batches[k], outs)
+            if st is not None and st.get("n_keyframes"):
+                stats_acc.append(st)
             now = time.perf_counter()
             seg_fps.append(T * B / (now - t_seg))
             t_seg = now
-        # drain: the final segment's loop-closure work (exposed tail)
+        # drain: the in-flight pipeline stages (exposed tail)
         t_drain = time.perf_counter()
-        tok = closer.consume_dispatch(*prev)
-        if pend_fin is not None:
-            stats_acc.append(closer.consume_finish(pend_fin))
-        stats_acc.append(closer.consume_finish(tok))
-        closer.flush()
+        stats_acc.extend(s for s in closer.pipeline_drain()
+                         if s.get("n_keyframes"))
         elapsed_all = time.perf_counter() - t_all0
         loop_ms = 1000.0 * (time.perf_counter() - t_drain)  # exposed tail
-        loop_stats = next((s for s in reversed(stats_acc)
-                           if s.get("n_keyframes")), stats_acc[-1])
+        loop_stats = stats_acc[-1] if stats_acc else None
         n_timed = T * B * (n_seg - 1)
         fps = n_timed / elapsed_all  # drain-inclusive aggregate
         fps_all = fps

@@ -119,4 +119,7 @@ def test_batched_loop_closure_equivalent_to_sequential():
     assert [(lp["cur"], lp["old"]) for lp in ref.loops] == \
         [(lp["cur"], lp["old"]) for lp in g0.loops]
     for lp_ref, lp_b in zip(ref.loops, g0.loops):
-        np.testing.assert_allclose(lp_ref["rel_t"], lp_b["rel_t"], atol=1e-6)
+        # the batched closer's device-resident verification runs PnP in
+        # f32 (production dtype); the sequential path under the test
+        # harness's x64 runs f64 — identical geometry, float rounding only
+        np.testing.assert_allclose(lp_ref["rel_t"], lp_b["rel_t"], atol=5e-5)

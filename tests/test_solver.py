@@ -116,6 +116,7 @@ def test_relo_block_recovers_old_pose():
         active=jnp.asarray(True),
         match_pts=jnp.asarray(match_pts),
         match_valid=jnp.asarray(match_valid),
+        match_ids=jnp.arange(MAXF, dtype=jnp.int32),  # row-identity keys
         # perturbed initial guess of the old pose
         P=jnp.asarray(P_old + np.array([0.1, 0.08, -0.06])),
         Q=quat.qboxplus(jnp.asarray(Q_old), jnp.asarray([0.02, -0.03, 0.02])),

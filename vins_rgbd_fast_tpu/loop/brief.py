@@ -128,6 +128,32 @@ def compute_descriptors(img: jax.Array, uv: jax.Array, valid: jax.Array) -> jax.
     return jnp.where(valid[:, None], bits, 0)
 
 
+def _descriptors_on_smoothed(sp: jax.Array, uv: jax.Array,
+                             valid: jax.Array) -> jax.Array:
+    """Descriptor sampling on an already smoothed+padded image."""
+    from ..ops.lk import _batched_subpix_patches
+
+    size = 2 * PATCH_HALF + 1
+    pad = PATCH_HALF + 2
+    patches = _batched_subpix_patches(sp, uv, size, pad)
+    flat = patches.reshape(patches.shape[0], -1)
+    with jax.default_matmul_precision("float32"):
+        a = flat @ _SEL_A.astype(flat.dtype)
+        b = flat @ _SEL_B.astype(flat.dtype)
+    bits = jnp.where(a < b, 1, -1).astype(jnp.int8)
+    return jnp.where(valid[:, None], bits, 0)
+
+
+def compute_descriptors_pair(img: jax.Array, uv1, v1, uv2, v2):
+    """Two keypoint sets against ONE shared smooth pass (the keyframe
+    extractor computes retrieval + window descriptors on the same frame;
+    smoothing twice cost ~25% of the whole extraction)."""
+    pad = PATCH_HALF + 2
+    sp = jnp.pad(smooth(img), pad, mode="edge")
+    return (_descriptors_on_smoothed(sp, uv1, v1),
+            _descriptors_on_smoothed(sp, uv2, v2))
+
+
 def hamming_matrix(da: jax.Array, db: jax.Array) -> jax.Array:
     """Pairwise Hamming distances between ±1 int8 descriptor sets
     (Na,256)x(Nb,256) -> (Na,Nb) float32.  Zero rows map to distance 128."""

@@ -102,18 +102,21 @@ def _extract_kf_device(cfg: PoseGraphConfig, cam: CameraModel,
         score = fast_ops.nms3(fast_ops.fast_score(img, cfg.fast_threshold))
     H, W = img.shape
     # flat top-k keeps global strongest-response selection (a per-grid
-    # quota was measured ATE/retrieval-worse and NOT faster: the top_k is
-    # ~0.05 ms of the ~17 ms extractor dispatch — BRIEF sampling dominates)
+    # quota was measured ATE/retrieval-worse and NOT faster).  approx_max_k
+    # is the TPU-native selection: exact top_k cost ~35 ms across a
+    # 64-keyframe batch vs ~2 ms approximate at recall 0.95 — a missed
+    # near-tie corner is noise to set-based retrieval scoring
     flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, cfg.max_kp)
+    vals, idx = jax.lax.approx_max_k(flat, cfg.max_kp, recall_target=0.95)
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
     kp_uv = jnp.stack([xs, ys], axis=-1)
     kp_valid = vals > 0
-    kp_desc = brief.compute_descriptors(img, kp_uv, kp_valid)
+    # ONE shared smoothing pass for both descriptor sets
+    kp_desc, wp_desc = brief.compute_descriptors_pair(
+        img, kp_uv, kp_valid, wp_uv, wp_valid)
     rays = cam.lift(kp_uv)
     kp_norm = rays[:, :2]
-    wp_desc = brief.compute_descriptors(img, wp_uv, wp_valid)
     return kp_uv, kp_norm, kp_valid, kp_desc, wp_desc
 
 
@@ -184,6 +187,18 @@ def _db_query_multi(db, dbv, qs, qvs, score_dist: float):
         qs, qvs)
 
 
+@partial(jax.jit, static_argnames=("score_dist",))
+def _db_query_all(dbs, dbvs, qs, qvs, score_dist: float):
+    """Cross-sequence batched retrieval: (B, cap, max_kp, 256) stacked DBs
+    × (B, qp, max_kp, 256) per-sequence queries → (B, qp, cap) raw scores
+    in ONE dispatch (per-sequence dispatches cost ~24 ms of tunnel launch
+    overhead each; the batched loop closer queries all sequences at once)."""
+    return jax.vmap(
+        lambda db, dbv, q, qv: jax.vmap(
+            lambda q1, qv1: _scores_one(db, dbv, q1, qv1, score_dist))(q, qv)
+    )(dbs, dbvs, qs, qvs)
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _db_update_block(db, dbv, descs, valids, size):
     """Append a CONTIGUOUS block of keyframes at ``size`` (segment-deferred
@@ -192,6 +207,62 @@ def _db_update_block(db, dbv, descs, valids, size):
     db = jax.lax.dynamic_update_slice(db, descs, (size, zero, zero))
     dbv = jax.lax.dynamic_update_slice(dbv, valids, (size, zero))
     return db, dbv
+
+
+@partial(jax.jit, static_argnames=("match_thresh", "min_loop_num"))
+def verify_loops_batch(seeds, wp_world, wp_desc, wp_valid,
+                       kp_desc, kp_valid, kp_norm, R_init, t_init,
+                       match_thresh: float, min_loop_num: int):
+    """Segment-batched device half of ``KeyFrame::findConnection``: Hamming
+    match + PnP-RANSAC for C loop candidates in ONE dispatch.  The
+    per-candidate eager form costs ~4 tunneled host syncs each (~30 ms
+    apiece), which dominated the batched closer's host phase; here a whole
+    segment's candidates verify for one dispatch + one readback.
+
+    ``seeds``: per-candidate int32 (the cur keyframe index — the same
+    PRNG stream as the sequential path, so results are identical)."""
+    def one(seed, wld, wd, wv, kd, kv, kn, R0, t0):
+        idx_b, ok = brief.match(wd, kd, wv, kv, max_dist=match_thresh)
+        res = ransac_ops.pnp_ransac_guess(
+            jax.random.PRNGKey(seed), wld, kn[idx_b], ok, R0, t0,
+            threshold=10.0 / 460.0, min_inliers=min_loop_num)
+        enough = jnp.sum(ok) >= min_loop_num
+        return idx_b, res.ok & enough, res.model, res.n_inliers, res.inliers
+
+    return jax.vmap(one)(seeds, wp_world, wp_desc, wp_valid,
+                         kp_desc, kp_valid, kp_norm, R_init, t_init)
+
+
+@partial(jax.jit, static_argnames=("match_thresh", "min_loop_num"))
+def verify_loops_device(ints, flts, wld, wd, wv, dbs, dbvs, okn,
+                        match_thresh: float, min_loop_num: int):
+    """Device-resident form of ``verify_loops_batch``: the cur side
+    (``wld``/``wd``/``wv``) is gathered from the scan chunk's still-resident
+    arrays, the old descriptors come from the STACKED per-sequence DBs, and
+    the host uploads only ~20 KB of packed indices/poses per group (the
+    host-stacked form re-uploaded ~4 MB of descriptors through the ~50 ms/MB
+    tunnel every group).
+
+    ``ints`` (C, 3): [seed, db_index b, db_slot s].
+    ``flts`` (C, 24): [R_init (9), t_init (3), w_r (9), w_t (3)] — w_r/w_t
+    map the chunk's landmarks into the graph's map frame (the alignment
+    ``insert_keyframe`` applied to the host copy)."""
+    def one(iv, fv, wl, d, v, kn):
+        old_kd = dbs[iv[1], iv[2]]
+        old_kv = dbvs[iv[1], iv[2]]
+        R0 = fv[0:9].reshape(3, 3)
+        t0 = fv[9:12]
+        w_r = fv[12:21].reshape(3, 3)
+        w_t = fv[21:24]
+        wl = wl @ w_r.T + w_t
+        idx_b, ok = brief.match(d, old_kd, v, old_kv, max_dist=match_thresh)
+        res = ransac_ops.pnp_ransac_guess(
+            jax.random.PRNGKey(iv[0]), wl, kn[idx_b], ok, R0, t0,
+            threshold=10.0 / 460.0, min_inliers=min_loop_num)
+        enough = jnp.sum(ok) >= min_loop_num
+        return idx_b, res.ok & enough, res.model, res.n_inliers, res.inliers
+
+    return jax.vmap(one)(ints, flts, wld, wd, wv, okn)
 
 
 def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
@@ -292,11 +363,13 @@ def optimize_4dof(
             )
             r = jnp.where(ok, r * hw, 0.0)
             Jl = jnp.where(ok, Jl * hw, 0.0)
-            row = jnp.zeros((4, NPAR), dtype)
-            zero = jnp.asarray(0, jnp.int32)
-            row = jax.lax.dynamic_update_slice(row, Jl[:, 0:4], (zero, 4 * ei))
-            row = jax.lax.dynamic_update_slice(row, Jl[:, 4:8], (zero, 4 * ej))
-            return r, row
+            # scatter-free row: one-hot ⊗ block (dynamic_update_slice here
+            # lowers to a scatter under vmap — ~15x slower on TPU)
+            Pi = jax.nn.one_hot(ei, K, dtype=dtype)
+            Pj = jax.nn.one_hot(ej, K, dtype=dtype)
+            row = (Jl[:, None, 0:4] * Pi[None, :, None]
+                   + Jl[:, None, 4:8] * Pj[None, :, None])
+            return r, row.reshape(4, NPAR)
 
         r, rows = jax.vmap(one)(
             edge_i, edge_j, edge_rel_t, edge_rel_yaw, edge_weight,
@@ -397,11 +470,12 @@ def optimize_6dof(
             )
             r = jnp.where(ok, r * hw, 0.0)
             Jl = jnp.where(ok, Jl * hw, 0.0)
-            row = jnp.zeros((6, NPAR), dtype)
-            zero = jnp.asarray(0, jnp.int32)
-            row = jax.lax.dynamic_update_slice(row, Jl[:, 0:6], (zero, 6 * ei))
-            row = jax.lax.dynamic_update_slice(row, Jl[:, 6:12], (zero, 6 * ej))
-            return r, row
+            # scatter-free row (see optimize_4dof)
+            Pi = jax.nn.one_hot(ei, K, dtype=dtype)
+            Pj = jax.nn.one_hot(ej, K, dtype=dtype)
+            row = (Jl[:, None, 0:6] * Pi[None, :, None]
+                   + Jl[:, None, 6:12] * Pj[None, :, None])
+            return r, row.reshape(6, NPAR)
 
         r, rows = jax.vmap(one)(edge_i, edge_j, edge_rel_t, edge_rel_q,
                                 edge_is_loop, edge_valid)
@@ -705,10 +779,36 @@ class PoseGraph:
         reference's optimize4DoF thread likewise wakes on a 2 s cadence,
         ``pose_graph.cpp:410-581``, so corrections between wakeups ride the
         drift composition exactly as here)."""
-        cfg = self.cfg
+        kf, cand = self.insert_keyframe(
+            t, P_vio, Q_vio, wp_world, wp_norm, wp_valid,
+            kp_uv, kp_norm, kp_valid, kp_desc, wp_desc,
+            detect_loop=detect_loop, scores=scores,
+        )
+        loop_info = None
+        if cand is not None:
+            loop_info = self._find_connection(kf, self.keyframes[cand])
+            if loop_info is not None:
+                self.accept_loop(kf, cand, loop_info)
+        if append_db:
+            self._db_append(kf.kp_desc, kf.kp_valid)
+        if loop_info is not None and optimize_now:
+            self.optimize()
+        return loop_info
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, t: float, P_vio, Q_vio,
+                        wp_world, wp_norm, wp_valid,
+                        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc,
+                        detect_loop: bool = True,
+                        scores: Optional[np.ndarray] = None):
+        """Pass A of the segment-batched flow: map the incoming vio pose
+        (and its landmarks) into the map frame via the sequence alignment
+        (pose_graph.cpp:67-70), store the keyframe, extend the
+        drift-corrected path, and return ``(kf, candidate_index_or_None)``
+        from retrieval — geometric verification happens in the caller
+        (``verify_loops_batch`` + ``_loop_from_pnp`` + ``accept_loop``),
+        so a whole segment's candidates verify in one dispatch."""
         idx = len(self.keyframes)
-        # map the incoming vio pose (and its landmarks) into the map frame
-        # via the sequence alignment (pose_graph.cpp:67-70)
         P_vio = self.w_r_vio @ np.asarray(P_vio) + self.w_t_vio
         Q_vio = nq.qmul(nq.R2q(self.w_r_vio), np.asarray(Q_vio))
         wp_world = np.asarray(wp_world) @ self.w_r_vio.T + self.w_t_vio
@@ -720,34 +820,39 @@ class PoseGraph:
             wp_world=np.asarray(wp_world), wp_norm=np.asarray(wp_norm),
             wp_valid=np.asarray(wp_valid), wp_desc=np.asarray(wp_desc),
         )
-
-        loop_info = None
+        cand = None
         if detect_loop and len(self.keyframes) > 0:
             if scores is not None:
                 cand = self._detect_from_scores(np.asarray(scores), idx)
             else:
                 cand = self._detect_loop(kf)
-            if cand is not None:
-                loop_info = self._find_connection(kf, self.keyframes[cand])
-                if loop_info is not None:
-                    if self.earliest_loop_index is None or cand < self.earliest_loop_index:
-                        self.earliest_loop_index = cand
-                    old_kf = self.keyframes[cand]
-                    if (old_kf.sequence != kf.sequence
-                            and not self.sequence_aligned.get(kf.sequence, False)):
-                        kf = self._align_sequence(kf, old_kf, loop_info)
-                    self.loops.append(loop_info)
         self.keyframes.append(kf)
-        if append_db:
-            self._db_append(kf.kp_desc, kf.kp_valid)
-        if loop_info is not None and optimize_now:
-            self.optimize()
-        else:
-            # keep the corrected trajectory extended with current drift
-            # (when the PGO is deferred, the pending loop's correction
-            # lands at the caller's next optimize() — reference cadence)
-            self.corrected[idx] = self.apply_drift(kf.P_vio, kf.Q_vio)
-        return loop_info
+        self.corrected[idx] = self.apply_drift(kf.P_vio, kf.Q_vio)
+        return kf, cand
+
+    def accept_loop(self, kf: KeyFrameData, cand: int, loop_info: dict
+                    ) -> bool:
+        """Pass C: record a verified + gated loop; perform the
+        cross-sequence world merge when the loop bridges sequences.
+        Returns True when a realignment happened (callers holding batched
+        PnP results for LATER candidates of the same sequence must re-run
+        those sequentially — their inputs predate the remap)."""
+        if self.earliest_loop_index is None or cand < self.earliest_loop_index:
+            self.earliest_loop_index = cand
+        old_kf = self.keyframes[cand]
+        aligned = False
+        if (old_kf.sequence != kf.sequence
+                and not self.sequence_aligned.get(kf.sequence, False)):
+            # kf is already stored: _align_sequence remaps every stored
+            # keyframe of the sequence (kf included) and drops their
+            # corrected entries; restore this keyframe's corrected pose
+            # from the remapped state
+            kf2 = self._align_sequence(kf, old_kf, loop_info)
+            self.keyframes[kf.index] = kf2
+            self.corrected[kf.index] = self.apply_drift(kf2.P_vio, kf2.Q_vio)
+            aligned = True
+        self.loops.append(loop_info)
+        return aligned
 
     # ------------------------------------------------------------------
     def _align_sequence(self, kf: KeyFrameData, old_kf: KeyFrameData,
@@ -867,9 +972,19 @@ class PoseGraph:
         return int(self._db_index[slot]) if slot < len(self._db_index) else slot
 
     # ------------------------------------------------------------------
+    def _pnp_init_guess(self, old: KeyFrameData):
+        """world->old-cam initial guess from the old keyframe's pose, as
+        the reference seeds its iterative PnP (keyframe.cpp:226-240)."""
+        R_wi = nq.q2R(old.Q_vio)
+        R_wc = R_wi @ self.ric
+        t_wc = old.P_vio + R_wi @ self.tic
+        return R_wc.T, -R_wc.T @ t_wc
+
     def _find_connection(self, cur: KeyFrameData, old: KeyFrameData) -> Optional[dict]:
         """Hamming match + PnP-RANSAC + acceptance gates
-        (``KeyFrame::findConnection``)."""
+        (``KeyFrame::findConnection``) — sequential (per-event) form; the
+        batched loop closer verifies whole segments of candidates in one
+        dispatch via ``verify_loops_batch`` + ``_loop_from_pnp``."""
         cfg = self.cfg
         idx_b, ok = brief.match(
             jnp.asarray(cur.wp_desc), jnp.asarray(old.kp_desc),
@@ -879,26 +994,29 @@ class PoseGraph:
         ok_np = np.asarray(ok)
         if ok_np.sum() < cfg.min_loop_num:
             return None
-        matched_old_norm = old.kp_norm[np.asarray(idx_b)]
-        # initial guess: the old keyframe's VIO pose (world -> old cam), as
-        # the reference seeds its iterative PnP (keyframe.cpp:226-240)
-        R_wi = nq.q2R(old.Q_vio)
-        R_wc = R_wi @ self.ric
-        t_wc = old.P_vio + R_wi @ self.tic
-        R_init = R_wc.T
-        t_init = -R_wc.T @ t_wc
+        R_init, t_init = self._pnp_init_guess(old)
         res = ransac_ops.pnp_ransac_guess(
             jax.random.PRNGKey(cur.index),
             jnp.asarray(cur.wp_world),
-            jnp.asarray(matched_old_norm),
+            jnp.asarray(old.kp_norm[np.asarray(idx_b)]),
             ok,
             jnp.asarray(R_init), jnp.asarray(t_init),
             threshold=10.0 / 460.0,
             min_inliers=cfg.min_loop_num,
         )
-        if not bool(res.ok):
+        return self._loop_from_pnp(
+            cur, old, bool(res.ok), np.asarray(res.model),
+            int(res.n_inliers), np.asarray(idx_b), np.asarray(res.inliers))
+
+    def _loop_from_pnp(self, cur: KeyFrameData, old: KeyFrameData,
+                       pnp_ok: bool, M: np.ndarray, n_inliers: int,
+                       idx_b: np.ndarray, inlier_mask: np.ndarray
+                       ) -> Optional[dict]:
+        """Host half of findConnection: relative-pose recovery from the
+        PnP model + the reference's acceptance gates
+        (``keyframe.cpp:483-524``)."""
+        if not pnp_ok:
             return None
-        M = np.asarray(res.model)
         R_cw, t_cw = M[:, :3], M[:, 3]  # world -> old cam
         R_w_oldcam = R_cw.T
         t_w_oldcam = -R_cw.T @ t_cw
@@ -916,9 +1034,9 @@ class PoseGraph:
         return dict(
             cur=cur.index, old=old.index,
             rel_t=rel_t, rel_yaw=rel_yaw, rel_q=rel_q,
-            n_inliers=int(res.n_inliers),
-            matched_old_norm=matched_old_norm,
-            inlier_mask=np.asarray(res.inliers),
+            n_inliers=int(n_inliers),
+            matched_old_norm=old.kp_norm[idx_b],
+            inlier_mask=np.asarray(inlier_mask),
         )
 
     # ------------------------------------------------------------------
@@ -960,13 +1078,49 @@ class PoseGraph:
     def optimize(self):
         """4-DoF PGO from the earliest looped frame (``optimize4DoF``),
         then drift update + propagation to later keyframes."""
-        if self.earliest_loop_index is None or not self.loops:
+        prob = self._build_4dof()
+        if prob is None:
             return
+        if prob == "6dof":
+            nodes, local, n_anchors, first, win_start = self._select_nodes()
+            Kpad = self._pad(len(nodes), self.cfg.pad_nodes_min)
+            valid = np.zeros(Kpad, bool); valid[:len(nodes)] = True
+            fixed = np.zeros(Kpad, bool)
+            for li, kf in enumerate(nodes):
+                fixed[li] = (li < n_anchors or kf.index == first
+                             or kf.index == win_start or kf.sequence == 0)
+            self._optimize_6dof_impl(nodes, Kpad, valid, fixed, local)
+            return
+        self._solve_apply_4dof(prob)
+
+    def _solve_apply_4dof(self, prob):
+        cfg = self.cfg
+        yaw_o, t_o, c0, c1 = optimize_4dof(
+            jnp.asarray(prob["yaw"]), jnp.asarray(prob["tt"]),
+            jnp.asarray(prob["pitch"]), jnp.asarray(prob["roll"]),
+            jnp.asarray(prob["valid"]), jnp.asarray(prob["fixed"]),
+            jnp.asarray(prob["ei"]), jnp.asarray(prob["ej"]),
+            jnp.asarray(prob["ert"]), jnp.asarray(prob["ery"]),
+            jnp.ones(prob["ei"].shape[0]), jnp.asarray(prob["elo"]),
+            jnp.asarray(prob["evl"]),
+            n_nodes_static=prob["yaw"].shape[0], iters=cfg.pg_iters,
+            huber=cfg.huber,
+        )
+        self._apply_4dof(prob, np.asarray(yaw_o), np.asarray(t_o))
+
+    def _build_4dof(self):
+        """Assemble the padded 4-DoF PGO problem (host numpy).  Returns a
+        dict of arrays (shared shapes across graphs under the pad floors,
+        so a caller can stack several graphs' problems and solve them in
+        ONE vmapped dispatch), None if there is nothing to optimize, or
+        "6dof" when the graph is configured for the SE(3) path."""
+        if self.earliest_loop_index is None or not self.loops:
+            return None
         cfg = self.cfg
         nodes, local, n_anchors, first, win_start = self._select_nodes()
         K = len(nodes)
         if K < 2:
-            return
+            return None
         Kpad = self._pad(K, cfg.pad_nodes_min)
         # node arrays: yaw/t initialized from corrected poses (warm start /
         # consistency with fixed anchors); pitch/roll fixed from VIO (the
@@ -1011,10 +1165,9 @@ class PoseGraph:
 
         E = len(e_i)
         if E == 0:
-            return
+            return None
         if cfg.use_6dof:
-            self._optimize_6dof_impl(nodes, Kpad, valid, fixed, local)
-            return
+            return "6dof"
         Epad = self._pad(E, cfg.pad_edges_min)
         ei = np.zeros(Epad, np.int32); ei[:E] = e_i
         ej = np.zeros(Epad, np.int32); ej[:E] = e_j
@@ -1022,29 +1175,24 @@ class PoseGraph:
         ery = np.zeros(Epad); ery[:E] = e_ry
         elo = np.zeros(Epad, bool); elo[:E] = e_loop
         evl = np.zeros(Epad, bool); evl[:E] = True
-        yaw_o, t_o, c0, c1 = optimize_4dof(
-            jnp.asarray(yaw), jnp.asarray(tt), jnp.asarray(pitch),
-            jnp.asarray(roll), jnp.asarray(valid), jnp.asarray(fixed),
-            jnp.asarray(ei), jnp.asarray(ej),
-            jnp.asarray(ert), jnp.asarray(ery),
-            jnp.ones(Epad), jnp.asarray(elo), jnp.asarray(evl),
-            n_nodes_static=Kpad, iters=cfg.pg_iters, huber=cfg.huber,
-        )
-        yaw_o = np.asarray(yaw_o)
-        t_o = np.asarray(t_o)
+        return dict(yaw=yaw, tt=tt, pitch=pitch, roll=roll, valid=valid,
+                    fixed=fixed, ei=ei, ej=ej, ert=ert, ery=ery, elo=elo,
+                    evl=evl, nodes=nodes, vio_yaw=vio_yaw, K=K)
 
-        # write back corrected poses (window nodes; anchors are fixed)
+    def _apply_4dof(self, prob, yaw_o: np.ndarray, t_o: np.ndarray):
+        """Write back a solved 4-DoF problem: corrected poses, drift from
+        the last optimized keyframe (pose_graph.cpp:552-560), and drift
+        propagation to keyframes after the optimized set."""
+        nodes, vio_yaw, K = prob["nodes"], prob["vio_yaw"], prob["K"]
+        pitch, roll = prob["pitch"], prob["roll"]
         for li, kf in enumerate(nodes):
             R = nq.ypr2R([yaw_o[li], pitch[li], roll[li]])
             self.corrected[kf.index] = (t_o[li], nq.R2q(R))
-        # drift from the last optimized keyframe (pose_graph.cpp:552-560):
-        # corrected = r_drift · vio + t_drift, yaw-only
         cur_kf = nodes[K - 1]
         li = K - 1
         self.yaw_drift = float(nq.normalize_angle_deg(yaw_o[li] - vio_yaw[li]))
         Rd = self._r_drift()
         self.t_drift = t_o[li] - Rd @ cur_kf.P_vio
-        # propagate drift to keyframes after the optimized set
         for kf in self.keyframes:
             if kf.index > cur_kf.index:
                 self.corrected[kf.index] = self.apply_drift(kf.P_vio, kf.Q_vio)

@@ -289,7 +289,10 @@ def pnp_ransac_guess(
     subsets = _random_subsets(key, valid, n_trials, 8)
 
     def one_trial(idx):
-        w = jnp.zeros(Pw.shape[0], dtype).at[idx].set(1.0) * valid.astype(dtype)
+        # one-hot sum, not .at[].set — the scatter lowers ~15x slower on
+        # TPU under the vmapped (trials x batched-candidates) stacking
+        w = jnp.clip(jax.nn.one_hot(idx, Pw.shape[0], dtype=dtype).sum(0),
+                     0.0, 1.0) * valid.astype(dtype)
         R, t = _pnp_gn(Pw, uv, w, R_init, t_init, iters=refine_iters)
         e = _reproj_err_norm(R, t, Pw, uv)
         inl = (e < threshold) & valid

@@ -43,8 +43,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..loop.pose_graph import (PoseGraph, PoseGraphConfig, _db_query_multi,
-                               make_batch_extractor)
+from ..loop.pose_graph import (PoseGraph, PoseGraphConfig, _db_query_all,
+                               _db_query_multi, make_batch_extractor,
+                               verify_loops_device)
 from ..models.camera import CameraModel
 from .batched_pipeline import FrameBatch, ScanOutputs
 
@@ -67,6 +68,74 @@ def _pack_gating(is_kf, P, ts):
 
 class BatchedLoopCloser:
     """Per-sequence pose graphs fed from batched scan segments."""
+
+    CAND_PAD = 32  # loop-candidate verification group size (one compile)
+
+    def _dispatch_verify(self, group):
+        """Batched find-connection device half for ≤CAND_PAD candidates:
+        pads to the fixed group size and dispatches ONE
+        ``verify_loops_batch`` (results sliced by the caller)."""
+        from ..loop.pose_graph import verify_loops_batch
+
+        cc = group + [group[0]] * (self.CAND_PAD - len(group))
+        seeds = np.asarray([c[1].index for c in cc], np.int32)
+        # f32/int8 casts BEFORE upload: the tunneled host->device path runs
+        # ~50 ms/MB, so float64 stacks double the dispatch cost
+        wld = np.stack([c[1].wp_world for c in cc]).astype(np.float32)
+        wd = np.stack([c[1].wp_desc for c in cc]).astype(np.int8)
+        wv = np.stack([c[1].wp_valid for c in cc])
+        olds = [self.graphs[b].keyframes[cand] for (b, _, cand, *_) in cc]
+        okd = np.stack([o.kp_desc for o in olds]).astype(np.int8)
+        okv = np.stack([o.kp_valid for o in olds])
+        okn = np.stack([o.kp_norm for o in olds]).astype(np.float32)
+        guesses = [self.graphs[b]._pnp_init_guess(o)
+                   for (b, *_), o in zip(cc, olds)]
+        R0 = np.stack([gu[0] for gu in guesses]).astype(np.float32)
+        t0 = np.stack([gu[1] for gu in guesses]).astype(np.float32)
+        out = verify_loops_batch(
+            jnp.asarray(seeds), jnp.asarray(wld), jnp.asarray(wd),
+            jnp.asarray(wv), jnp.asarray(okd), jnp.asarray(okv),
+            jnp.asarray(okn), jnp.asarray(R0), jnp.asarray(t0),
+            float(self.cfg.match_thresh), int(self.cfg.min_loop_num))
+        return [o[: len(group)] for o in out]
+
+    def _dispatch_verify_dev(self, group):
+        """Device-resident batched find-connection: cur side gathered from
+        the group's source chunk arrays, old side from the stacked DBs —
+        host uploads only packed indices/poses (~20 KB) per group."""
+        chunk = group[0][3]
+        cc = group + [group[0]] * (self.CAND_PAD - len(group))
+        ints = np.zeros((self.CAND_PAD, 3), np.int32)
+        flts = np.zeros((self.CAND_PAD, 24), np.float32)
+        rows = np.zeros(self.CAND_PAD, np.int64)
+        okn = np.zeros((self.CAND_PAD, self.cfg.max_kp, 2), np.float32)
+        for j, (b, kf, cand, _, i_row, w_r, w_t) in enumerate(cc):
+            g = self.graphs[b]
+            slot = int(np.searchsorted(g._db_index, cand))
+            if not (slot < len(g._db_index) and g._db_index[slot] == cand):
+                # old keyframe not retrieval-resident (evicted between
+                # detection and verify — cannot happen in-segment, but be
+                # safe): host fallback for the whole group
+                return self._dispatch_verify(group)
+            old = g.keyframes[cand]
+            R0, t0 = g._pnp_init_guess(old)
+            ints[j] = (kf.index, b, slot)
+            flts[j, 0:9] = np.asarray(R0, np.float32).ravel()
+            flts[j, 9:12] = np.asarray(t0, np.float32)
+            flts[j, 12:21] = np.asarray(w_r, np.float32).ravel()
+            flts[j, 21:24] = np.asarray(w_t, np.float32)
+            rows[j] = i_row
+            okn[j] = old.kp_norm
+        ridx = jnp.asarray(rows)
+        wld = chunk["wp_world_d"][ridx]
+        wd = chunk["ext"][4][ridx]
+        wv = chunk["wp_valid_d"][ridx]
+        dbs, dbvs = self._dbs_stacked
+        out = verify_loops_device(
+            jnp.asarray(ints), jnp.asarray(flts), wld, wd, wv, dbs, dbvs,
+            jnp.asarray(okn),
+            float(self.cfg.match_thresh), int(self.cfg.min_loop_num))
+        return [o[: len(group)] for o in out]
 
     def __init__(self, cam: CameraModel, ric: np.ndarray, tic: np.ndarray,
                  batch: int, pg_cfg: Optional[PoseGraphConfig] = None,
@@ -91,6 +160,9 @@ class BatchedLoopCloser:
         # into the per-sequence DBs at the START of the next dispatch (same
         # one-segment scoring deferral as before, zero host round-trip)
         self._pending_append: list = []
+        self._pgo_vfns: dict = {}
+        self._dbs_stacked = None  # stacked DB snapshot for device verify
+        self._st1 = self._st2 = self._st3 = None  # pipeline stage slots
         self.n_keyframes = 0
         self.n_loops = 0
 
@@ -109,6 +181,9 @@ class BatchedLoopCloser:
         c._travel_anchor = [None if a is None else np.asarray(a).copy()
                             for a in self._travel_anchor]
         c._pending_append = []
+        c._pgo_vfns = self._pgo_vfns  # shared compiled-solver cache
+        c._dbs_stacked = None
+        c._st1 = c._st2 = c._st3 = None
         c.n_keyframes, c.n_loops = self.n_keyframes, self.n_loops
         c.graphs = [g.clone() for g in self.graphs]
         return c
@@ -138,14 +213,31 @@ class BatchedLoopCloser:
             return
         old, cur = g.keyframes[0], g.keyframes[-1]
         # fabricate a perfectly matching pair: Hamming gate passes, so the
-        # PnP-RANSAC program traces (its accept/reject outcome is ignored)
+        # PnP-RANSAC programs trace (accept/reject outcomes are ignored)
         n = min(cfg.max_wp, cfg.max_kp)
         wp_desc = cur.wp_desc.copy()
         wp_desc[:n] = old.kp_desc[:n]
         wp_valid = np.zeros(cfg.max_wp, bool)
         wp_valid[:n] = np.asarray(old.kp_valid[:n], bool)
-        g._find_connection(cur._replace(wp_desc=wp_desc, wp_valid=wp_valid),
-                           old)
+        cur_fake = cur._replace(wp_desc=wp_desc, wp_valid=wp_valid)
+        fake = (0, cur_fake, old.index, None, 0, np.eye(3), np.zeros(3))
+        # host-stacked verifier (fallback path) ...
+        jax.device_get(ghost._dispatch_verify([fake]))
+        # ... the DEVICE-resident verifier at its fixed shapes ...
+        if ghost._dbs_stacked is not None:
+            from ..loop.pose_graph import verify_loops_device as _vld
+
+            dbs, dbvs = ghost._dbs_stacked
+            Cp, mwp, mkp = self.CAND_PAD, cfg.max_wp, cfg.max_kp
+            jax.device_get(_vld(
+                jnp.zeros((Cp, 3), jnp.int32), jnp.zeros((Cp, 24), jnp.float32),
+                jnp.zeros((Cp, mwp, 3), jnp.float32),
+                jnp.zeros((Cp, mwp, 256), jnp.int8), jnp.zeros((Cp, mwp), bool),
+                dbs, dbvs, jnp.zeros((Cp, mkp, 2), jnp.float32),
+                float(cfg.match_thresh), int(cfg.min_loop_num)))
+        # ... and the sequential form (realignment escape hatch / latency
+        # pipeline)
+        g._find_connection(cur_fake, old)
         # PGO trace at the padded-floor shapes
         g.loops.append(dict(cur=cur.index, old=old.index,
                             rel_t=np.zeros(3), rel_yaw=0.0,
@@ -153,7 +245,7 @@ class BatchedLoopCloser:
                             n_inliers=cfg.min_loop_num))
         if g.earliest_loop_index is None:
             g.earliest_loop_index = old.index
-        g.optimize()
+        ghost._optimize_graphs({0})  # compiles the fixed-width vmapped PGO
 
     # ------------------------------------------------------------------
     def flush(self):
@@ -264,23 +356,7 @@ class BatchedLoopCloser:
         by_seq: dict = {}
         for i in range(K):
             by_seq.setdefault(int(bs[i]), []).append(i)
-        scores_d: dict = {}
-        for b, idxs in by_seq.items():
-            g = self.graphs[b]
-            if g._dev_db is None or g._db_size == 0:
-                scores_d[b] = None
-                continue
-            qp = min(self.seq_pad or _pad_pow2(len(idxs)), Kp)
-            parts = []
-            for j0 in range(0, len(idxs), qp):
-                part = idxs[j0:j0 + qp]
-                idxp = jnp.asarray(list(part) + [0] * (qp - len(part)))
-                s = _db_query_multi(
-                    g._dev_db, g._dev_valid,
-                    kp_desc_d[idxp], kp_valid_d[idxp],
-                    float(self.cfg.score_dist))
-                parts.append((s, len(part)))
-            scores_d[b] = parts
+        scores_d = self._dispatch_queries(by_seq, kp_desc_d, kp_valid_d, Kp)
         return dict(
             ext=ext, wp_world_d=wp_world_d, wp_norm_d=wp_norm_d,
             wp_valid_d=wp_valid_d, Q_d=Q_d, scores_d=scores_d,
@@ -288,51 +364,161 @@ class BatchedLoopCloser:
         )
 
     # ------------------------------------------------------------------
-    def consume_finish(self, pend) -> dict:
-        """Second half: the bulk readback (sync 2) + sequential host
-        pose-graph processing, deferred DB appends, and one PGO per
-        sequence-with-loops."""
-        if pend is None:
-            return dict(n_keyframes=0, n_loops=0)
-        _t0, _t_sync1, _t_disp = pend["t0"], pend["t_sync1"], pend["t_disp"]
-        _t_sync2 = _t_disp
-        n_loops = 0
-        n_kf = 0
-        looped: set = set()
-        for chunk in pend["pends"]:
-            dn, dl = self._finish_chunk(chunk, looped)
-            n_kf += dn
-            n_loops += dl
-            _t_sync2 = max(_t_sync2, chunk.pop("_t_sync2", _t_sync2))
-        for b in looped:
-            self.graphs[b].optimize()
-        self.n_keyframes += n_kf
-        self.n_loops += n_loops
-        _t_end = _time.perf_counter()
-        return dict(
-            n_keyframes=n_kf, n_loops=n_loops,
-            # phase breakdown (ms): sync1 = gating readback (includes
-            # waiting out the scan), dispatch = gather+extract+score
-            # dispatch (async), sync2 = bulk readback (includes waiting
-            # out the extraction), host = pose-graph bookkeeping + PGO +
-            # deferred DB appends
-            ms_sync1=round(1e3 * (_t_sync1 - _t0), 1),
-            ms_dispatch=round(1e3 * (_t_disp - _t_sync1), 1),
-            ms_sync2=round(1e3 * (_t_sync2 - _t_disp), 1),
-            ms_host=round(1e3 * (_t_end - _t_sync2), 1),
-        )
+    def _dispatch_queries(self, by_seq, kp_desc_d, kp_valid_d, Kp):
+        """Retrieval scoring for this chunk.  Fast path: ONE cross-sequence
+        dispatch against the stacked DBs (per-sequence dispatches cost
+        ~24 ms launch overhead each); falls back to per-sequence queries
+        when DB capacities diverge or a sequence overflows the pad."""
+        qp = min(self.seq_pad or _pad_pow2(
+            max((len(v) for v in by_seq.values()), default=1)), Kp)
+        caps = {0 if g._dev_db is None else int(g._dev_db.shape[0])
+                for g in self.graphs}
+        mergeable = (len(caps) == 1 and 0 not in caps
+                     and all(len(v) <= qp for v in by_seq.values()))
+        if not mergeable:
+            self._dbs_stacked = None
+        if mergeable:
+            B = len(self.graphs)
+            qidx = np.zeros((B, qp), np.int64)
+            qcnt = np.zeros(B, np.int64)
+            for b, idxs in by_seq.items():
+                qidx[b, :len(idxs)] = idxs
+                qcnt[b] = len(idxs)
+            dbs = jnp.stack([g._dev_db for g in self.graphs])
+            dbvs = jnp.stack([g._dev_valid for g in self.graphs])
+            # retained for the device-resident loop verification (valid for
+            # this segment: appends are deferred until the NEXT dispatch)
+            self._dbs_stacked = (dbs, dbvs)
+            qsel = jnp.asarray(qidx)
+            qs = kp_desc_d[qsel]  # (B, qp, max_kp, 256)
+            qvs = (kp_valid_d[qsel]
+                   & (jnp.arange(qp)[None, :, None]
+                      < jnp.asarray(qcnt)[:, None, None]))
+            sc = _db_query_all(dbs, dbvs, qs, qvs, float(self.cfg.score_dist))
+            return {b: (None if self.graphs[b]._db_size == 0
+                        else [(sc[b], len(by_seq[b]))])
+                    for b in by_seq}
+        scores_d: dict = {}
+        for b, idxs in by_seq.items():
+            g = self.graphs[b]
+            if g._dev_db is None or g._db_size == 0:
+                scores_d[b] = None
+                continue
+            qp_b = min(self.seq_pad or _pad_pow2(len(idxs)), Kp)
+            parts = []
+            for j0 in range(0, len(idxs), qp_b):
+                part = idxs[j0:j0 + qp_b]
+                idxp = jnp.asarray(list(part) + [0] * (qp_b - len(part)))
+                sq = _db_query_multi(
+                    g._dev_db, g._dev_valid,
+                    kp_desc_d[idxp], kp_valid_d[idxp],
+                    float(self.cfg.score_dist))
+                parts.append((sq, len(part)))
+            scores_d[b] = parts
+        return scores_d
 
     # ------------------------------------------------------------------
-    def _finish_chunk(self, chunk: dict, looped: set):
+    def consume_finish(self, pend) -> dict:
+        """Second half, synchronous: bulk readback + host pose-graph work +
+        batched verification + PGO in one call.  The bench's pipelined
+        steady state instead drives :meth:`pipeline_advance`, which spreads
+        these stages across segments so every device_get targets work that
+        completed under an already-dispatched scan."""
+        if pend is None:
+            return dict(n_keyframes=0, n_loops=0)
+        st2 = self._stage_insert(pend)
+        st3 = self._stage_accept(st2)
+        return self._stage_pgo(st3)
+
+    # ------------------------------------------------------------------
+    def pipeline_advance(self, batch=None, outs=None):
+        """Advance the 4-stage software pipeline by one segment.  Call
+        immediately AFTER dispatching the next segment's scan: every
+        device_get here targets work dispatched ≥1 segment ago (completed
+        while the previous scan ran), and every new device dispatch queues
+        behind the scan just issued — the device never idles and the host
+        never waits out a scan inside loop-closure work.
+
+        Stages per segment k (oldest first): PGO fetch+apply (k-3),
+        verification fetch + loop acceptance + PGO dispatch (k-2),
+        extraction fetch + keyframe insertion + detection + verification
+        dispatch (k-1), gating readback + extraction/scoring dispatch (k).
+
+        Loop corrections therefore land 2-3 segments after detection —
+        the reference's optimize4DoF thread applies them on a 2 s wakeup
+        cadence the same way (pose_graph.cpp:410-581).
+
+        Pass ``batch=None`` to drain one stage.  Returns the completed
+        (oldest) segment's stats dict, or None."""
+        stats = self._stage_pgo(self._st3) if self._st3 is not None else None
+        self._st3 = self._stage_accept(self._st2)
+        self._st2 = self._stage_insert(self._st1)
+        self._st1 = (self.consume_dispatch(batch, outs)
+                     if batch is not None else None)
+        return stats
+
+    def pipeline_drain(self) -> list:
+        """Drain all in-flight pipeline stages (call after the last
+        segment's scan has been dispatched + advanced); flushes deferred
+        DB appends.  Returns the remaining segments' stats dicts."""
+        out = []
+        while (self._st1 is not None or self._st2 is not None
+               or self._st3 is not None):
+            st = self.pipeline_advance(None, None)
+            if st is not None:
+                out.append(st)
+        self.flush()
+        return out
+
+    # ------------------------------------------------------------------
+    def _stage_insert(self, pend):
+        """Stage 2: fetch extraction/scores, insert keyframes + detect
+        candidates (host), dispatch batched verification, queue DB
+        appends."""
+        if pend is None:
+            return None
+        _t0 = _time.perf_counter()
+        n_kf = 0
+        cands = []  # (b, kf, old_index) in keyframe order
+        for chunk in pend["pends"]:
+            dn, dc = self._chunk_insert(chunk)
+            n_kf += dn
+            cands += dc
+        _t_fetch = _time.perf_counter()
+        # groups are per source chunk (the device path gathers the cur side
+        # from that chunk's still-resident arrays)
+        groups = []
+        run = []
+        for c in cands:
+            if run and (c[3] is not run[0][3] or len(run) == self.CAND_PAD):
+                groups.append(run)
+                run = []
+            run.append(c)
+        if run:
+            groups.append(run)
+        pend_v = [self._dispatch_verify_dev(gr)
+                  if self._dbs_stacked is not None
+                  else self._dispatch_verify(gr) for gr in groups]
+        self.n_keyframes += n_kf
+        return dict(
+            cands=cands, pend_v=pend_v, n_kf=n_kf,
+            ms_sync1=round(1e3 * (pend["t_sync1"] - pend["t0"]), 1),
+            ms_dispatch=round(1e3 * (pend["t_disp"] - pend["t_sync1"]), 1),
+            ms_sync2=round(1e3 * (_t_fetch - _t0), 1),
+            ms_vdisp=round(1e3 * (_time.perf_counter() - _t_fetch), 1),
+        )
+
+    def _chunk_insert(self, chunk: dict):
+        """Fetch one chunk + Pass A: insert every keyframe, detect loop
+        candidates from the prefetched retrieval scores (host numpy), and
+        queue the chunk's deferred DB append."""
         ext, scores_d, by_seq = chunk["ext"], chunk["scores_d"], chunk["by_seq"]
         ks, bs, K = chunk["ks"], chunk["bs"], chunk["K"]
         ts, P_all = chunk["ts"], chunk["P_all"]
-        # sync 2: everything the host path needs, in one fetch
         (kp_uv, kp_norm, kp_valid, kp_desc, wp_desc), wp_world, wp_norm, \
             wp_valid, Qh, scores_h = jax.device_get(
                 (ext, chunk["wp_world_d"], chunk["wp_norm_d"],
                  chunk["wp_valid_d"], chunk["Q_d"], scores_d))
-        chunk["_t_sync2"] = _time.perf_counter()
         kp_uv, kp_norm, kp_valid = (np.asarray(a) for a in
                                     (kp_uv, kp_norm, kp_valid))
         kp_desc, wp_desc = np.asarray(kp_desc), np.asarray(wp_desc)
@@ -343,33 +529,156 @@ class BatchedLoopCloser:
                 scores[b] = {i: None for i in idxs}
             else:
                 rows = np.concatenate(
-                    [np.asarray(s)[:n] for (s, n) in parts], axis=0)
+                    [np.asarray(sc)[:n] for (sc, n) in parts], axis=0)
                 scores[b] = {i: rows[j] for j, i in enumerate(idxs)}
 
-        # sequential host processing (cheap: poses + thresholds; PnP only on
-        # retrieval hits), then ONE deferred DB append per sequence and ONE
-        # deferred PGO per sequence-with-loops (each optimize() costs a
-        # dispatch + readback; the reference's optimize4DoF thread batches
-        # loop events on a 2 s cadence the same way)
-        n_loops = 0
+        cands = []
         for i in range(K):
             k, b = int(ks[i]), int(bs[i])
             g = self.graphs[b]
-            info = g.add_keyframe_extracted(
+            w_r, w_t = g.w_r_vio.copy(), g.w_t_vio.copy()  # as-of-insert
+            kf, cand = g.insert_keyframe(
                 float(ts[k, b]),
                 P_all[k, b], np.asarray(Qh[i]),
                 np.asarray(wp_world[i]), np.asarray(wp_norm[i]),
                 np.asarray(wp_valid[i]),
                 kp_uv[i], kp_norm[i], kp_valid[i], kp_desc[i], wp_desc[i],
-                scores=scores[b][i], append_db=False, optimize_now=False,
+                scores=scores[b][i],
             )
-            if info is not None:
-                n_loops += 1
-                looped.add(b)
+            if cand is not None:
+                cands.append((b, kf, cand, chunk, i, w_r, w_t))
         # defer this chunk's DB appends (device-resident descriptors) to
         # the next dispatch's flush() — or an explicit final flush()
         self._pending_append.append((ext[3], ext[2], by_seq))
-        return K, n_loops
+        return K, cands
+
+    # ------------------------------------------------------------------
+    def _stage_accept(self, st2):
+        """Stage 3: fetch verification results, accept loops in keyframe
+        order (host gates; a cross-sequence realignment re-verifies later
+        candidates of that graph eagerly), dispatch the vmapped PGO."""
+        if st2 is None:
+            return None
+        _t0 = _time.perf_counter()
+        cands, pend_v = st2["cands"], st2["pend_v"]
+        n_loops = 0
+        looped: set = set()
+        if cands:
+            host_v = jax.device_get(pend_v)
+            idx_b = np.concatenate([np.asarray(h[0]) for h in host_v])
+            okf = np.concatenate([np.asarray(h[1]) for h in host_v])
+            models = np.concatenate([np.asarray(h[2]) for h in host_v])
+            ninl = np.concatenate([np.asarray(h[3]) for h in host_v])
+            inls = np.concatenate([np.asarray(h[4]) for h in host_v])
+            realigned: set = set()
+            for j in range(len(cands)):
+                b, kf, cand = cands[j][:3]
+                g = self.graphs[b]
+                cur = g.keyframes[kf.index]
+                old = g.keyframes[cand]
+                if b in realigned:
+                    info = g._find_connection(cur, old)
+                else:
+                    info = g._loop_from_pnp(
+                        cur, old, bool(okf[j]), models[j], int(ninl[j]),
+                        idx_b[j], inls[j])
+                if info is not None:
+                    if g.accept_loop(cur, cand, info):
+                        realigned.add(b)
+                    n_loops += 1
+                    looped.add(b)
+        self.n_loops += n_loops
+        pgo = self._pgo_dispatch(looped)
+        st3 = dict(st2)
+        st3.pop("cands"); st3.pop("pend_v")
+        st3.update(pgo=pgo, n_loops=n_loops,
+                   ms_accept=round(1e3 * (_time.perf_counter() - _t0), 1))
+        return st3
+
+    # ------------------------------------------------------------------
+    def _stage_pgo(self, st3) -> dict:
+        """Stage 4: fetch + apply the PGO results; emits the completed
+        segment's stats."""
+        if st3 is None:
+            return dict(n_keyframes=0, n_loops=0)
+        _t0 = _time.perf_counter()
+        self._pgo_apply(st3.get("pgo"))
+        stats = dict(
+            n_keyframes=st3["n_kf"], n_loops=st3["n_loops"],
+            ms_sync1=st3["ms_sync1"], ms_dispatch=st3["ms_dispatch"],
+            ms_sync2=st3["ms_sync2"], ms_vdisp=st3["ms_vdisp"],
+            ms_accept=st3["ms_accept"],
+            ms_pgo=round(1e3 * (_time.perf_counter() - _t0), 1),
+        )
+        return stats
+
+    # ------------------------------------------------------------------
+    def _optimize_graphs(self, looped):
+        """Synchronous PGO for every looped sequence (serial consume())."""
+        self._pgo_apply(self._pgo_dispatch(looped))
+
+    def _pgo_dispatch(self, looped):
+        """Build + dispatch PGO for every looped sequence in ONE vmapped
+        LM call at a FIXED batch width (problem shapes are shared under
+        the config's pad floors, so the whole run reuses one compiled
+        solver).  Falls back to eager per-graph optimize() on shape
+        mismatch or 6-DoF.  Returns a pending token for
+        :meth:`_pgo_apply` (device work proceeds asynchronously)."""
+        from ..loop.pose_graph import optimize_4dof
+
+        probs = []
+        for b in sorted(looped):
+            g = self.graphs[b]
+            pr = g._build_4dof()
+            if pr is None:
+                continue
+            if pr == "6dof":
+                g.optimize()
+                continue
+            probs.append((b, pr))
+        if not probs:
+            return None
+        shapes = {(pr["yaw"].shape[0], pr["ei"].shape[0]) for _, pr in probs}
+        if len(shapes) > 1:
+            for b, pr in probs:
+                self.graphs[b]._solve_apply_4dof(pr)
+            return None
+        Kpad = probs[0][1]["yaw"].shape[0]
+        Epad = probs[0][1]["ei"].shape[0]
+        n_real = len(probs)
+        # pad the problem batch to a FIXED width (the sequence count) so
+        # every segment reuses one compiled vmapped solver
+        while len(probs) < len(self.graphs):
+            probs.append((-1, probs[0][1]))
+        cfg = self.cfg
+        key = (Kpad, Epad)
+        vf = self._pgo_vfns.get(key)
+        if vf is None:
+            def solve(yaw, tt, pitch, roll, valid, fixed,
+                      ei, ej, ert, ery, ew, elo, evl):
+                return optimize_4dof(
+                    yaw, tt, pitch, roll, valid, fixed, ei, ej, ert, ery,
+                    ew, elo, evl, n_nodes_static=Kpad, iters=cfg.pg_iters,
+                    huber=cfg.huber)
+
+            vf = jax.jit(jax.vmap(solve))
+            self._pgo_vfns[key] = vf
+        st = lambda k: jnp.asarray(np.stack([pr[k] for _, pr in probs]))
+        yaw_o, t_o, _, _ = vf(st("yaw"), st("tt"), st("pitch"), st("roll"),
+                              st("valid"), st("fixed"), st("ei"), st("ej"),
+                              st("ert"), st("ery"),
+                              jnp.ones((len(probs), Epad)), st("elo"),
+                              st("evl"))
+        return dict(probs=probs[:n_real], yaw_o=yaw_o, t_o=t_o)
+
+    def _pgo_apply(self, pend):
+        """Fetch + write back a dispatched PGO (corrected poses, drift)."""
+        if pend is None:
+            return
+        yaw_h, t_h = jax.device_get((pend["yaw_o"], pend["t_o"]))
+        for (b, pr), y, t in zip(pend["probs"], np.asarray(yaw_h),
+                                 np.asarray(t_h)):
+            self.graphs[b]._apply_4dof(pr, y, t)
 
     # ------------------------------------------------------------------
     def corrected_path(self, b: int) -> list:
