@@ -290,7 +290,7 @@ def run_batched() -> dict:
         closer = BatchedLoopCloser(
             pipes[0].cam, pipes[0].vcfg.ric_matrix(),
             pipes[0].vcfg.tic_vector(), B, pg_cfg,
-            skip_dis=skip_dis, k_pad=64, seq_pad=16)
+            skip_dis=skip_dis, k_pad=64, seq_pad=32, db_capacity=128)
 
     # staged segments: segment 0 compiles+warms the scan program; later
     # segments (different data, same shapes) are timed; the LAST is the

@@ -145,12 +145,13 @@ def extract_keyframe_features(
 # dynamic_update_slice (no copy), uploads one keyframe's descriptors.
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _db_update(db, dbv, desc, valid, size):
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _db_update(db, dbv, dbn, desc, valid, norm, size):
     zero = jnp.zeros((), size.dtype)
     db = jax.lax.dynamic_update_slice(db, desc[None], (size, zero, zero))
     dbv = jax.lax.dynamic_update_slice(dbv, valid[None], (size, zero))
-    return db, dbv
+    dbn = jax.lax.dynamic_update_slice(dbn, norm[None], (size, zero, zero))
+    return db, dbv, dbn
 
 
 def _scores_one(db, dbv, q, qv, score_dist: float):
@@ -199,14 +200,15 @@ def _db_query_all(dbs, dbvs, qs, qvs, score_dist: float):
     )(dbs, dbvs, qs, qvs)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _db_update_block(db, dbv, descs, valids, size):
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _db_update_block(db, dbv, dbn, descs, valids, norms, size):
     """Append a CONTIGUOUS block of keyframes at ``size`` (segment-deferred
     appends from the batched loop closer — one dispatch instead of K)."""
     zero = jnp.zeros((), size.dtype)
     db = jax.lax.dynamic_update_slice(db, descs, (size, zero, zero))
     dbv = jax.lax.dynamic_update_slice(dbv, valids, (size, zero))
-    return db, dbv
+    dbn = jax.lax.dynamic_update_slice(dbn, norms, (size, zero, zero))
+    return db, dbv, dbn
 
 
 @partial(jax.jit, static_argnames=("match_thresh", "min_loop_num"))
@@ -234,22 +236,29 @@ def verify_loops_batch(seeds, wp_world, wp_desc, wp_valid,
 
 
 @partial(jax.jit, static_argnames=("match_thresh", "min_loop_num"))
-def verify_loops_device(ints, flts, wld, wd, wv, dbs, dbvs, okn,
+def verify_loops_device(ints, flts, wld_chunk, wd_chunk, wv_chunk,
+                        dbs, dbvs, dbns,
                         match_thresh: float, min_loop_num: int):
-    """Device-resident form of ``verify_loops_batch``: the cur side
-    (``wld``/``wd``/``wv``) is gathered from the scan chunk's still-resident
-    arrays, the old descriptors come from the STACKED per-sequence DBs, and
-    the host uploads only ~20 KB of packed indices/poses per group (the
-    host-stacked form re-uploaded ~4 MB of descriptors through the ~50 ms/MB
-    tunnel every group).
+    """Device-resident form of ``verify_loops_batch``: the cur side is
+    gathered IN-KERNEL from the scan chunk's still-resident arrays by row
+    index, and the old side (descriptors, valid masks, normalized
+    keypoints) comes from the STACKED per-sequence DBs — the host uploads
+    only two packed arrays of indices/poses (~10 KB) per chunk (the
+    host-stacked form re-uploaded ~4 MB of descriptors through the
+    ~50 ms/MB tunnel every group, and separate gather dispatches each cost
+    a tunnel round-trip).
 
-    ``ints`` (C, 3): [seed, db_index b, db_slot s].
+    ``ints`` (C, 4): [seed, db_index b, db_slot s, chunk row].
     ``flts`` (C, 24): [R_init (9), t_init (3), w_r (9), w_t (3)] — w_r/w_t
     map the chunk's landmarks into the graph's map frame (the alignment
     ``insert_keyframe`` applied to the host copy)."""
-    def one(iv, fv, wl, d, v, kn):
+    def one(iv, fv):
         old_kd = dbs[iv[1], iv[2]]
         old_kv = dbvs[iv[1], iv[2]]
+        kn = dbns[iv[1], iv[2]]
+        wl = wld_chunk[iv[3]]
+        d = wd_chunk[iv[3]]
+        v = wv_chunk[iv[3]]
         R0 = fv[0:9].reshape(3, 3)
         t0 = fv[9:12]
         w_r = fv[12:21].reshape(3, 3)
@@ -262,7 +271,7 @@ def verify_loops_device(ints, flts, wld, wd, wv, dbs, dbvs, okn,
         enough = jnp.sum(ok) >= min_loop_num
         return idx_b, res.ok & enough, res.model, res.n_inliers, res.inliers
 
-    return jax.vmap(one)(ints, flts, wld, wd, wv, okn)
+    return jax.vmap(one)(ints, flts)
 
 
 def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
@@ -535,6 +544,7 @@ class PoseGraph:
         # DB every query, ~25 MB at 512 keyframes).
         self._dev_db: Optional[jax.Array] = None  # (cap, max_kp, 256) int8
         self._dev_valid: Optional[jax.Array] = None  # (cap, max_kp) bool
+        self._dev_norm: Optional[jax.Array] = None  # (cap, max_kp, 2) f32
         self._db_size = 0
         # slot -> keyframe index (identity until a compaction; stays sorted)
         self._db_index = np.zeros(0, np.int64)
@@ -570,6 +580,7 @@ class PoseGraph:
         if self._dev_db is not None:
             g._dev_db = jnp.copy(self._dev_db)
             g._dev_valid = jnp.copy(self._dev_valid)
+            g._dev_norm = jnp.copy(self._dev_norm)
         g._db_size = self._db_size
         g._db_index = self._db_index.copy()
         g.db_evicted = self.db_evicted
@@ -605,13 +616,16 @@ class PoseGraph:
         cap = min(cap, self.cfg.max_keyframes)
         db = jnp.zeros((cap,) + tuple(like_shape), jnp.int8)
         dbv = jnp.zeros((cap, like_shape[0]), bool)
+        dbn = jnp.zeros((cap, like_shape[0], 2), jnp.float32)
         if self._dev_db is not None:
             n = self._db_size
             db = db.at[:n].set(self._dev_db[:n])
             dbv = dbv.at[:n].set(self._dev_valid[:n])
-        self._dev_db, self._dev_valid = db, dbv
+            dbn = dbn.at[:n].set(self._dev_norm[:n])
+        self._dev_db, self._dev_valid, self._dev_norm = db, dbv, dbn
 
-    def _db_append(self, desc: np.ndarray, valid: Optional[np.ndarray] = None):
+    def _db_append(self, desc: np.ndarray, valid: Optional[np.ndarray] = None,
+                   norm: Optional[np.ndarray] = None):
         if self._db_size >= self.cfg.max_keyframes:
             # storage cap (HBM-bounded; the reference's map is unbounded):
             # compact instead of silently freezing the map — keep every
@@ -620,10 +634,13 @@ class PoseGraph:
         desc = np.asarray(desc, np.int8)
         if valid is None:
             valid = np.any(desc != 0, axis=-1)
+        if norm is None:
+            norm = np.zeros((desc.shape[0], 2), np.float32)
         self._ensure_capacity(self._db_size + 1, desc.shape)
-        self._dev_db, self._dev_valid = _db_update(
-            self._dev_db, self._dev_valid, jnp.asarray(desc),
-            jnp.asarray(valid), jnp.asarray(self._db_size, jnp.int32))
+        self._dev_db, self._dev_valid, self._dev_norm = _db_update(
+            self._dev_db, self._dev_valid, self._dev_norm, jnp.asarray(desc),
+            jnp.asarray(valid), jnp.asarray(norm, jnp.float32),
+            jnp.asarray(self._db_size, jnp.int32))
         self._db_index = np.append(self._db_index, self._next_db_index())
         self._db_size += 1
 
@@ -655,11 +672,11 @@ class PoseGraph:
         if k >= n:  # nothing evictable
             return
         cap = self._dev_db.shape[0]
-        gathered = self._dev_db[jnp.asarray(slots)]
-        gathered_v = self._dev_valid[jnp.asarray(slots)]
-        db = jnp.zeros_like(self._dev_db).at[:k].set(gathered)
-        dbv = jnp.zeros_like(self._dev_valid).at[:k].set(gathered_v)
-        self._dev_db, self._dev_valid = db, dbv
+        sl = jnp.asarray(slots)
+        db = jnp.zeros_like(self._dev_db).at[:k].set(self._dev_db[sl])
+        dbv = jnp.zeros_like(self._dev_valid).at[:k].set(self._dev_valid[sl])
+        dbn = jnp.zeros_like(self._dev_norm).at[:k].set(self._dev_norm[sl])
+        self._dev_db, self._dev_valid, self._dev_norm = db, dbv, dbn
         self._db_index = self._db_index[slots]
         self.db_evicted += n - k
         self._db_size = k
@@ -669,7 +686,8 @@ class PoseGraph:
             "to keep full candidacy", self.cfg.max_keyframes, k,
             self.db_evicted)
 
-    def _db_append_block(self, descs, valids, count: Optional[int] = None):
+    def _db_append_block(self, descs, valids, count: Optional[int] = None,
+                         norms=None):
         """Append K keyframes in ONE dispatch (segment-deferred appends).
         Accepts host OR device arrays — device inputs stay on device (the
         batched loop closer appends the extractor's still-resident
@@ -682,6 +700,10 @@ class PoseGraph:
         if not isinstance(descs, jax.Array):
             descs = jnp.asarray(np.asarray(descs, np.int8))
             valids = jnp.asarray(np.asarray(valids, bool))
+        if norms is None:
+            norms = jnp.zeros(tuple(descs.shape[:2]) + (2,), jnp.float32)
+        elif not isinstance(norms, jax.Array):
+            norms = jnp.asarray(np.asarray(norms, np.float32))
         n = int(descs.shape[0]) if count is None else int(count)
         if self._db_size + n > self.cfg.max_keyframes:
             self._db_compact()
@@ -692,12 +714,13 @@ class PoseGraph:
             # padded write would spill past the hard cap (where
             # dynamic_update_slice clamps the start and corrupts earlier
             # slots): fall back to an exact-size write
-            descs, valids = descs[:k], valids[:k]
+            descs, valids, norms = descs[:k], valids[:k], norms[:k]
         self._ensure_capacity(self._db_size + int(descs.shape[0]),
                               tuple(descs.shape[1:]))
-        self._dev_db, self._dev_valid = _db_update_block(
-            self._dev_db, self._dev_valid, descs.astype(jnp.int8),
-            valids.astype(bool), jnp.asarray(self._db_size, jnp.int32))
+        self._dev_db, self._dev_valid, self._dev_norm = _db_update_block(
+            self._dev_db, self._dev_valid, self._dev_norm,
+            descs.astype(jnp.int8), valids.astype(bool),
+            norms.astype(jnp.float32), jnp.asarray(self._db_size, jnp.int32))
         start = self._next_db_index()
         self._db_index = np.append(self._db_index,
                                    np.arange(start, start + k))
@@ -790,7 +813,7 @@ class PoseGraph:
             if loop_info is not None:
                 self.accept_loop(kf, cand, loop_info)
         if append_db:
-            self._db_append(kf.kp_desc, kf.kp_valid)
+            self._db_append(kf.kp_desc, kf.kp_valid, kf.kp_norm)
         if loop_info is not None and optimize_now:
             self.optimize()
         return loop_info
@@ -1343,7 +1366,8 @@ class PoseGraph:
                 wp_desc=np.zeros((self.cfg.max_wp, 256), np.int8),
             )
             self.keyframes.append(kf)
-            self._db_append(kf.kp_desc.astype(np.int8), kf.kp_valid)
+            self._db_append(kf.kp_desc.astype(np.int8), kf.kp_valid,
+                            kf.kp_norm)
             if has_corr:
                 self.corrected[kf.index] = (np.asarray(data["P_corr"][i]),
                                             np.asarray(data["Q_corr"][i]))

@@ -69,7 +69,8 @@ def _pack_gating(is_kf, P, ts):
 class BatchedLoopCloser:
     """Per-sequence pose graphs fed from batched scan segments."""
 
-    CAND_PAD = 32  # loop-candidate verification group size (one compile)
+    CAND_PAD = 64  # loop-candidate verification group size (one compile;
+    # = the keyframe chunk pad, so a chunk's candidates verify in ONE call)
 
     def _dispatch_verify(self, group):
         """Batched find-connection device half for ≤CAND_PAD candidates:
@@ -97,18 +98,20 @@ class BatchedLoopCloser:
             jnp.asarray(wv), jnp.asarray(okd), jnp.asarray(okv),
             jnp.asarray(okn), jnp.asarray(R0), jnp.asarray(t0),
             float(self.cfg.match_thresh), int(self.cfg.min_loop_num))
-        return [o[: len(group)] for o in out]
+        return out, len(group)
 
     def _dispatch_verify_dev(self, group):
-        """Device-resident batched find-connection: cur side gathered from
-        the group's source chunk arrays, old side from the stacked DBs —
-        host uploads only packed indices/poses (~20 KB) per group."""
+        """Device-resident batched find-connection: ONE jitted call per
+        chunk group — cur side gathered in-kernel from the chunk's
+        still-resident arrays, old side from the stacked DBs; the host
+        uploads two packed arrays (~10 KB).  Returns (padded outputs,
+        real count): outputs are NOT sliced on device — a per-count eager
+        slice would recompile through the remote-compile tunnel every time
+        the candidate count changes (~2 s/segment measured)."""
         chunk = group[0][3]
         cc = group + [group[0]] * (self.CAND_PAD - len(group))
-        ints = np.zeros((self.CAND_PAD, 3), np.int32)
+        ints = np.zeros((self.CAND_PAD, 4), np.int32)
         flts = np.zeros((self.CAND_PAD, 24), np.float32)
-        rows = np.zeros(self.CAND_PAD, np.int64)
-        okn = np.zeros((self.CAND_PAD, self.cfg.max_kp, 2), np.float32)
         for j, (b, kf, cand, _, i_row, w_r, w_t) in enumerate(cc):
             g = self.graphs[b]
             slot = int(np.searchsorted(g._db_index, cand))
@@ -119,34 +122,37 @@ class BatchedLoopCloser:
                 return self._dispatch_verify(group)
             old = g.keyframes[cand]
             R0, t0 = g._pnp_init_guess(old)
-            ints[j] = (kf.index, b, slot)
+            ints[j] = (kf.index, b, slot, i_row)
             flts[j, 0:9] = np.asarray(R0, np.float32).ravel()
             flts[j, 9:12] = np.asarray(t0, np.float32)
             flts[j, 12:21] = np.asarray(w_r, np.float32).ravel()
             flts[j, 21:24] = np.asarray(w_t, np.float32)
-            rows[j] = i_row
-            okn[j] = old.kp_norm
-        ridx = jnp.asarray(rows)
-        wld = chunk["wp_world_d"][ridx]
-        wd = chunk["ext"][4][ridx]
-        wv = chunk["wp_valid_d"][ridx]
-        dbs, dbvs = self._dbs_stacked
+        dbs, dbvs, dbns = self._dbs_stacked
         out = verify_loops_device(
-            jnp.asarray(ints), jnp.asarray(flts), wld, wd, wv, dbs, dbvs,
-            jnp.asarray(okn),
+            jnp.asarray(ints), jnp.asarray(flts),
+            chunk["wp_world_d"], chunk["ext"][4], chunk["wp_valid_d"],
+            dbs, dbvs, dbns,
             float(self.cfg.match_thresh), int(self.cfg.min_loop_num))
-        return [o[: len(group)] for o in out]
+        return out, len(group)
 
     def __init__(self, cam: CameraModel, ric: np.ndarray, tic: np.ndarray,
                  batch: int, pg_cfg: Optional[PoseGraphConfig] = None,
                  skip_cnt: int = 0, skip_dis: float = 0.0,
-                 k_pad: int = 0, seq_pad: int = 0):
+                 k_pad: int = 0, seq_pad: int = 0, db_capacity: int = 0):
         self.cfg = pg_cfg or PoseGraphConfig()
         self.cam = cam
         self.ric = np.asarray(ric)
         self.tic = np.asarray(tic)
         self.graphs: List[PoseGraph] = [
             PoseGraph(self.cfg, cam, ric, tic) for _ in range(batch)]
+        if db_capacity:
+            # pre-size every graph's retrieval DB to a COMMON capacity: the
+            # merged cross-sequence query and the device-resident verifier
+            # require equal caps, and doubling-at-different-times would
+            # silently fork the graphs onto the slow per-sequence fallback
+            for g in self.graphs:
+                g._ensure_capacity(min(db_capacity, self.cfg.max_keyframes),
+                                   (self.cfg.max_kp, 256))
         self._extract = make_batch_extractor(self.cfg, cam)
         self.skip_cnt = skip_cnt
         self.skip_dis = skip_dis
@@ -224,16 +230,17 @@ class BatchedLoopCloser:
         # host-stacked verifier (fallback path) ...
         jax.device_get(ghost._dispatch_verify([fake]))
         # ... the DEVICE-resident verifier at its fixed shapes ...
-        if ghost._dbs_stacked is not None:
+        if ghost._dbs_stacked is not None and self.k_pad:
             from ..loop.pose_graph import verify_loops_device as _vld
 
-            dbs, dbvs = ghost._dbs_stacked
-            Cp, mwp, mkp = self.CAND_PAD, cfg.max_wp, cfg.max_kp
+            dbs, dbvs, dbns = ghost._dbs_stacked
+            Cp, mwp = self.CAND_PAD, cfg.max_wp
+            Kp = self.k_pad
             jax.device_get(_vld(
-                jnp.zeros((Cp, 3), jnp.int32), jnp.zeros((Cp, 24), jnp.float32),
-                jnp.zeros((Cp, mwp, 3), jnp.float32),
-                jnp.zeros((Cp, mwp, 256), jnp.int8), jnp.zeros((Cp, mwp), bool),
-                dbs, dbvs, jnp.zeros((Cp, mkp, 2), jnp.float32),
+                jnp.zeros((Cp, 4), jnp.int32), jnp.zeros((Cp, 24), jnp.float32),
+                jnp.zeros((Kp, mwp, 3), jnp.float32),
+                jnp.zeros((Kp, mwp, 256), jnp.int8), jnp.zeros((Kp, mwp), bool),
+                dbs, dbvs, dbns,
                 float(cfg.match_thresh), int(cfg.min_loop_num)))
         # ... and the sequential form (realignment escape hatch / latency
         # pipeline)
@@ -253,7 +260,7 @@ class BatchedLoopCloser:
         the next dispatch; call once after the final consume_finish if the
         per-sequence graphs will be saved or queried directly)."""
         pend, self._pending_append = self._pending_append, []
-        for (desc_d, valid_d, by_seq) in pend:
+        for (desc_d, valid_d, norm_d, by_seq) in pend:
             for b, idxs in by_seq.items():
                 k = len(idxs)
                 qp = self.seq_pad or _pad_pow2(k)
@@ -262,7 +269,8 @@ class BatchedLoopCloser:
                     idxp = jnp.asarray(part + [0] * (qp - len(part)))
                     d = desc_d[idxp]
                     v = valid_d[idxp] & (jnp.arange(qp) < len(part))[:, None]
-                    self.graphs[b]._db_append_block(d, v, count=len(part))
+                    self.graphs[b]._db_append_block(
+                        d, v, count=len(part), norms=norm_d[idxp])
 
     # ------------------------------------------------------------------
     def _gate(self, b: int, is_kf: bool, P: np.ndarray) -> bool:
@@ -357,11 +365,21 @@ class BatchedLoopCloser:
         for i in range(K):
             by_seq.setdefault(int(bs[i]), []).append(i)
         scores_d = self._dispatch_queries(by_seq, kp_desc_d, kp_valid_d, Kp)
-        return dict(
+        chunk = dict(
             ext=ext, wp_world_d=wp_world_d, wp_norm_d=wp_norm_d,
             wp_valid_d=wp_valid_d, Q_d=Q_d, scores_d=scores_d,
             by_seq=by_seq, ks=ks, bs=bs, K=K, ts=ts, P_all=P_all,
         )
+        # start the device->host copies NOW: by the time the insert stage
+        # fetches (one scan later), the bytes are already on host — the
+        # tunneled readback otherwise costs ~50 ms/MB of blocking
+        for leaf in jax.tree.leaves((ext, wp_world_d, wp_norm_d,
+                                     wp_valid_d, Q_d, scores_d)):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                break
+        return chunk
 
     # ------------------------------------------------------------------
     def _dispatch_queries(self, by_seq, kp_desc_d, kp_valid_d, Kp):
@@ -369,12 +387,11 @@ class BatchedLoopCloser:
         dispatch against the stacked DBs (per-sequence dispatches cost
         ~24 ms launch overhead each); falls back to per-sequence queries
         when DB capacities diverge or a sequence overflows the pad."""
-        qp = min(self.seq_pad or _pad_pow2(
-            max((len(v) for v in by_seq.values()), default=1)), Kp)
+        maxlen = max((len(v) for v in by_seq.values()), default=1)
+        qp = min(max(self.seq_pad, _pad_pow2(maxlen)), Kp)
         caps = {0 if g._dev_db is None else int(g._dev_db.shape[0])
                 for g in self.graphs}
-        mergeable = (len(caps) == 1 and 0 not in caps
-                     and all(len(v) <= qp for v in by_seq.values()))
+        mergeable = len(caps) == 1 and 0 not in caps
         if not mergeable:
             self._dbs_stacked = None
         if mergeable:
@@ -386,9 +403,10 @@ class BatchedLoopCloser:
                 qcnt[b] = len(idxs)
             dbs = jnp.stack([g._dev_db for g in self.graphs])
             dbvs = jnp.stack([g._dev_valid for g in self.graphs])
+            dbns = jnp.stack([g._dev_norm for g in self.graphs])
             # retained for the device-resident loop verification (valid for
             # this segment: appends are deferred until the NEXT dispatch)
-            self._dbs_stacked = (dbs, dbvs)
+            self._dbs_stacked = (dbs, dbvs, dbns)
             qsel = jnp.asarray(qidx)
             qs = kp_desc_d[qsel]  # (B, qp, max_kp, 256)
             qvs = (kp_valid_d[qsel]
@@ -549,7 +567,7 @@ class BatchedLoopCloser:
                 cands.append((b, kf, cand, chunk, i, w_r, w_t))
         # defer this chunk's DB appends (device-resident descriptors) to
         # the next dispatch's flush() — or an explicit final flush()
-        self._pending_append.append((ext[3], ext[2], by_seq))
+        self._pending_append.append((ext[3], ext[2], ext[1], by_seq))
         return K, cands
 
     # ------------------------------------------------------------------
@@ -564,12 +582,18 @@ class BatchedLoopCloser:
         n_loops = 0
         looped: set = set()
         if cands:
-            host_v = jax.device_get(pend_v)
-            idx_b = np.concatenate([np.asarray(h[0]) for h in host_v])
-            okf = np.concatenate([np.asarray(h[1]) for h in host_v])
-            models = np.concatenate([np.asarray(h[2]) for h in host_v])
-            ninl = np.concatenate([np.asarray(h[3]) for h in host_v])
-            inls = np.concatenate([np.asarray(h[4]) for h in host_v])
+            host_v = jax.device_get([o for (o, _) in pend_v])
+            ns = [n for (_, n) in pend_v]
+            idx_b = np.concatenate([np.asarray(h[0])[:n]
+                                    for h, n in zip(host_v, ns)])
+            okf = np.concatenate([np.asarray(h[1])[:n]
+                                  for h, n in zip(host_v, ns)])
+            models = np.concatenate([np.asarray(h[2])[:n]
+                                     for h, n in zip(host_v, ns)])
+            ninl = np.concatenate([np.asarray(h[3])[:n]
+                                   for h, n in zip(host_v, ns)])
+            inls = np.concatenate([np.asarray(h[4])[:n]
+                                   for h, n in zip(host_v, ns)])
             realigned: set = set()
             for j in range(len(cands)):
                 b, kf, cand = cands[j][:3]
