@@ -16,7 +16,11 @@ Env knobs: BENCH_MODE=both|batched|latency|recovery, BENCH_BATCH,
 BENCH_FRAMES, BENCH_SEGMENTS, BENCH_SOLVER_ITERS, BENCH_LK_ITERS,
 BENCH_LK_COARSE, BENCH_FAILURE_CHECK, BENCH_LOOP (batched loop closure
 on/off, default on), BENCH_REVISIT (revisit-trajectory count, default
-B/2), BENCH_KF_PARALLAX, BENCH_SKIP_DIS, BENCH_RECENCY,
+B/2), BENCH_KF_PARALLAX (default 10 px, the reference's
+config/realsense/vio.yaml:72), BENCH_SKIP_DIS, BENCH_RECENCY,
+BENCH_PGO_PERIOD (PGO wakeup cadence in stream seconds, default 2.0 =
+the reference's optimize4DoF thread), BENCH_OVERLAP (pipelined
+loop-closure steady state on/off, default on),
 BENCH_DEGRADE=off|mild|harsh (sensor-realism presets).
 """
 
@@ -216,11 +220,12 @@ def run_batched() -> dict:
     # only prices extraction + retrieval scoring
     n_revisit = int(os.environ.get("BENCH_REVISIT", str(B // 2))) \
         if with_loop else 0
-    # keyframe cadence: the sweeps peak at ~7 px parallax, so the default
-    # 10 px admits almost nothing — 3 px keeps a realistic keyframe stream
-    # flowing to the pose graph (the closer's travel-distance gate then
-    # thins it like the reference nodelet's SKIP_DIS)
-    kf_parallax = float(os.environ.get("BENCH_KF_PARALLAX", "3.0"))
+    # keyframe cadence: the reference ships keyframe_parallax=10 px on every
+    # realsense rig (config/realsense/vio.yaml:72) — run the same default.
+    # The revisit sweeps still admit a steady keyframe stream (~20/segment)
+    # and fire real loops; BENCH_KF_PARALLAX=3 stress-tests a ~3x denser
+    # pose-graph feed
+    kf_parallax = float(os.environ.get("BENCH_KF_PARALLAX", "10.0"))
     # reference nodelet default SKIP_DIS=0: every estimator keyframe feeds
     # the pose graph
     skip_dis = float(os.environ.get("BENCH_SKIP_DIS", "0.0"))
@@ -290,7 +295,13 @@ def run_batched() -> dict:
         closer = BatchedLoopCloser(
             pipes[0].cam, pipes[0].vcfg.ric_matrix(),
             pipes[0].vcfg.tic_vector(), B, pg_cfg,
-            skip_dis=skip_dis, k_pad=64, seq_pad=32, db_capacity=128)
+            skip_dis=skip_dis,
+            # chunk pad sized to the keyframe flow at the reference
+            # keyframe_parallax (≈20-25/segment): extraction compute scales
+            # linearly with the pad
+            k_pad=int(os.environ.get("BENCH_KPAD", "32")),
+            seq_pad=32, db_capacity=128,
+            pgo_period=float(os.environ.get("BENCH_PGO_PERIOD", "2.0")))
 
     # staged segments: segment 0 compiles+warms the scan program; later
     # segments (different data, same shapes) are timed; the LAST is the
@@ -315,15 +326,15 @@ def run_batched() -> dict:
     seg_fps, seg_loop_ms = [], []
     loop_stats = None
     if overlap:
-        # 2-deep pipelined steady state (the reference's concurrent
-        # pose_graph nodelet): scan k+1 is dispatched BEFORE segment k's
-        # loop-closure dispatch and before segment k-1's finish, so the
-        # device never idles — the host's gating readback waits only the
-        # already-finished scan k, and the finish readback waits only an
-        # extraction that queued ahead of scan k+1.
+        # 5-stage pipelined steady state (the reference's concurrent
+        # pose_graph nodelet): the gating pack for scan k is enqueued
+        # right behind scan k and read back only AFTER scan k+1 is
+        # dispatched — so in the steady state no host fetch waits on an
+        # incomplete device op and every loop-closure dispatch queues
+        # behind an in-flight scan; the device never idles.
         #
         # HONEST headline: total timed frames / total wall INCLUDING the
-        # final drain (the last segment's loop-closure tail) — nothing is
+        # final drain (the last segments' loop-closure tail) — nothing is
         # excluded.  Host-loop intervals are device-pipeline-shifted, so
         # `seg_fps` is a diagnostic, not the metric.
         stats_acc = []
@@ -332,7 +343,8 @@ def run_batched() -> dict:
         for k in range(1, n_seg):
             trk_states, est_states, outs = runner.run(trk_states, est_states,
                                                       batches[k])
-            st = closer.pipeline_advance(batches[k], outs)
+            tok = closer.pack_dispatch(batches[k], outs)
+            st = closer.pipeline_advance_packed(tok)
             if st is not None and st.get("n_keyframes"):
                 stats_acc.append(st)
             now = time.perf_counter()
@@ -397,17 +409,29 @@ def run_batched() -> dict:
         # loop-corrected keyframe trajectory accuracy vs ground truth on
         # the revisit sequences (the VIO `ate_m` above never sees the
         # pose-graph corrections)
-        lates = []
+        lates, vlates = [], []
         for b in range(n_revisit):
-            path = closer.graphs[b].path()
+            g = closer.graphs[b]
+            path = g.path()
             if len(path) >= 5:
                 a = io_stream.ate_rmse(
                     [p[0] for p in path], [p[1] for p in path],
                     seqs[b].times, seqs[b].P, align=False)
                 if np.isfinite(a):
                     lates.append(float(a))
+                # uncorrected keyframe poses at the same stamps, for
+                # context (on a near-drift-free synthetic scene the loop
+                # corrections can only add PnP measurement noise)
+                av = io_stream.ate_rmse(
+                    [k.t for k in g.keyframes],
+                    [k.P_vio for k in g.keyframes],
+                    seqs[b].times, seqs[b].P, align=False)
+                if np.isfinite(av):
+                    vlates.append(float(av))
         if lates:
             out["loop_ate_m"] = round(float(np.mean(lates)), 4)
+        if vlates:
+            out["loop_vio_ate_m"] = round(float(np.mean(vlates)), 4)
     return out
 
 

@@ -78,6 +78,7 @@ def test_batched_loop_closure_equivalent_to_sequential():
     # two nodelets do) — results must be identical to serial consume()
     segments = []
     pend = None
+    dev_segments = []
     for s0 in range(warmup, n_frames, seg_len):
         s1 = min(s0 + seg_len, n_frames)
         batch = bp.stage_frames(pipes, frames, s0, s1)
@@ -86,6 +87,7 @@ def test_batched_loop_closure_equivalent_to_sequential():
             closer.consume_finish(pend)
         pend = closer.consume_dispatch(batch, outs)
         segments.append((batch, jax.device_get(outs), None))
+        dev_segments.append((batch, outs))
     closer.consume_finish(pend)
     closer.flush()
 
@@ -123,3 +125,20 @@ def test_batched_loop_closure_equivalent_to_sequential():
         # f32 (production dtype); the sequential path under the test
         # harness's x64 runs f64 — identical geometry, float rounding only
         np.testing.assert_allclose(lp_ref["rel_t"], lp_b["rel_t"], atol=5e-5)
+
+    # (c) the bench's 5-stage packed pipeline (pack_dispatch right after
+    # each scan, gating readback one segment later, drain at the end) must
+    # find the SAME keyframes and loops as the dispatch/finish split above
+    closer2 = BatchedLoopCloser(
+        pipes[0].cam, pipes[0].vcfg.ric_matrix(),
+        pipes[0].vcfg.tic_vector(), B, pg_cfg)
+    closer2._extract = closer._extract  # share the compiled extractor
+    for (batch, outs) in dev_segments:
+        closer2.pipeline_advance_packed(closer2.pack_dispatch(batch, outs))
+    closer2.pipeline_drain()
+    g2 = closer2.graphs[0]
+    assert len(g2.keyframes) == len(g0.keyframes)
+    assert [(lp["cur"], lp["old"]) for lp in g2.loops] == \
+        [(lp["cur"], lp["old"]) for lp in g0.loops]
+    for lp_a, lp_b in zip(g0.loops, g2.loops):
+        np.testing.assert_allclose(lp_a["rel_t"], lp_b["rel_t"], atol=5e-5)

@@ -152,6 +152,64 @@ def test_calibrate_kannala_brandt():
                                [kb.mu, kb.mv, kb.u0, kb.v0], rtol=5e-3)
 
 
+def _ocam_project_exact(poly, affine, center, Pc):
+    """Independent ground-truth OCAM projection: per-point exact quartic
+    root of f(ρ) + (z/r)·ρ = 0 via np.roots (no Newton, no inv_poly)."""
+    C, D, E = affine
+    out = np.zeros((len(Pc), 2))
+    for i, (x, y, z) in enumerate(Pc):
+        r = np.hypot(x, y)
+        m = z / r
+        # a4 ρ⁴ + a3 ρ³ + a2 ρ² + m ρ + a0 = 0
+        roots = np.roots([poly[4], poly[3], poly[2], m, poly[0]])
+        rho = min((float(rt.real) for rt in roots
+                   if abs(rt.imag) < 1e-9 and rt.real > 0), default=np.nan)
+        u, v = x / r * rho, y / r * rho
+        out[i] = (C * u + D * v + center[0], E * u + v + center[1])
+    return out
+
+
+def test_calibrate_scaramuzza():
+    # OCAM forward polynomial in the reference's own ballpark
+    # (ScaramuzzaCamera.cc:533-537 commented sample), scaled to 640x480
+    poly = (-180.0, 0.0, 1.8e-3, -2.0e-6, 8.0e-9)
+    affine = (1.001, 1e-4, -2e-4)
+    center = (322.0, 238.0)
+    obj = board_points(ROWS, COLS, SQ)
+    rng = np.random.default_rng(4)
+    views = []
+    for R, t in _view_poses(12, seed=17, z=(0.25, 0.5), xy=(0.16, 0.12)):
+        uv = _ocam_project_exact(poly, affine, center, obj @ R.T + t)
+        assert np.isfinite(uv).all()
+        views.append(uv + rng.normal(0, 0.05, uv.shape))
+    res = calibrate("scaramuzza", views, ROWS, COLS, SQ, W, H)
+    p = res.params
+    assert res.rms_px < 0.1, res.rms_px
+    np.testing.assert_allclose([p.center_x, p.center_y], center, atol=1.0)
+    np.testing.assert_allclose(p.poly[0], poly[0], rtol=1e-2)
+
+    # YAML round trip: the written OCAM file loads through config and
+    # builds a working camera (project∘lift identity on interior pixels)
+    import tempfile
+    from vins_rgbd_fast_tpu.config import load_config
+    with tempfile.TemporaryDirectory() as d:
+        yml = os.path.join(d, "camera_scaramuzza.yaml")
+        write_camera_yaml(yml, res)
+        vc = load_config(yml)
+        assert vc.model_type.upper() == "SCARAMUZZA"
+        np.testing.assert_allclose(vc.ocam_poly, p.poly, rtol=1e-6)
+        cam = vc.camera()
+        uv0 = np.array([[250.0, 200.0], [400.0, 300.0], [322.0, 238.0]])
+        rays = np.asarray(cam.lift(jnp.asarray(uv0)))
+        uv1 = np.asarray(cam.project(jnp.asarray(rays)))
+        # project∘lift is NOT exact under a non-identity affine even in
+        # the reference: liftProjective builds the ray from the STRETCHED
+        # centered coords while the polynomial uses the unstretched ones
+        # (ScaramuzzaCamera.cc:599-622) — ~(C−1)·ρ ≈ 1 px here.  The
+        # inverse-poly fit itself contributes <0.1 px.
+        np.testing.assert_allclose(uv1, uv0, atol=1.5)
+
+
 def test_calibrate_mei():
     mei = cm.MeiParams(xi=0.9, gamma1=860.0, gamma2=856.0, u1=318.0,
                        v1=242.0, k1=-0.05, k2=0.01, width=W, height=H)

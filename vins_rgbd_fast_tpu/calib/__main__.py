@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     ap.add_argument("-p", "--prefix", default="")
     ap.add_argument("-e", "--file-extension", dest="ext", default=".png")
     ap.add_argument("--camera-model", dest="model", default="mei",
-                    choices=["pinhole", "kannala-brandt", "mei"])
+                    choices=["pinhole", "kannala-brandt", "mei", "scaramuzza"])
     ap.add_argument("--camera-name", dest="name", default="camera")
     ap.add_argument("-v", "--verbose", action="store_true", default=True)
     args = ap.parse_args(argv)

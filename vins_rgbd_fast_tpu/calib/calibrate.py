@@ -18,10 +18,13 @@ CameraCalibration.cc`` + the per-model ``estimateIntrinsics`` /
     kernels (``models/camera.py``) through a parameter VECTOR, so the
     refined estimate autodiffs with ``jacfwd`` — no hand-coded Jacobians.
 
-Supported models: pinhole (radtan), kannala-brandt, mei — the reference
-CLI's set (``intrinsic_calib.cc:68-84``; its scaramuzza entry delegates to
-an external OCAM toolbox port and is exercised nowhere in the rig configs,
-so OCAM stays load/use-only here, see ``models/camera.py``).
+Supported models: pinhole (radtan), kannala-brandt, mei, scaramuzza —
+the reference CLI's full set (``intrinsic_calib.cc:68-84``).  OCAM uses
+Scaramuzza's linear initialization (thesis no. 17635 p.30, reimplemented
+by the reference at ``ScaramuzzaCamera.cc:227-575``) followed by the same
+joint LM over the forward polynomial + affine/center + view poses; the
+inverse polynomial is fitted afterwards exactly as the reference does
+(``ScaramuzzaCamera.cc:536-572``).
 """
 
 from __future__ import annotations
@@ -34,10 +37,11 @@ import jax
 import jax.numpy as jnp
 
 from ..models.camera import (PinholeParams, EquidistantParams, MeiParams,
-                             _radtan_distort, _kb_theta_poly)
+                             ScaramuzzaParams, _radtan_distort,
+                             _kb_theta_poly)
 from ..utils.quaternion import so3_exp, q2R
 
-N_INTR = {"pinhole": 8, "kannala-brandt": 8, "mei": 9}
+N_INTR = {"pinhole": 8, "kannala-brandt": 8, "mei": 9, "scaramuzza": 9}
 
 
 # ---------------------------------------------------------------------------
@@ -115,19 +119,136 @@ def pose_from_homography(K4: np.ndarray, H: np.ndarray):
         r1, r2, t = -r1, -r2, -t
     r3 = np.cross(r1, r2)
     R = np.stack([r1, r2, r3], axis=1)
-    U, _, Vt = np.linalg.svd(R)  # nearest rotation
+    return _nearest_rvec(R), t
+
+
+def _nearest_rvec(R: np.ndarray) -> np.ndarray:
+    """Project to the nearest rotation (SVD) and convert to axis-angle."""
+    U, _, Vt = np.linalg.svd(R)
     R = U @ Vt
     if np.linalg.det(R) < 0:
         R = U @ np.diag([1, 1, -1.0]) @ Vt
-    # rotation matrix → axis-angle
     ang = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
     if ang < 1e-9:
-        rvec = np.zeros(3)
-    else:
-        ax = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                       R[1, 0] - R[0, 1]]) / (2 * np.sin(ang))
-        rvec = ang * ax
-    return rvec, t
+        return np.zeros(3)
+    ax = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                   R[1, 0] - R[0, 1]]) / (2 * np.sin(ang))
+    return ang * ax
+
+
+def _scaramuzza_init(obj: np.ndarray, uvs: np.ndarray, width: int,
+                     height: int):
+    """Scaramuzza's linear initialization (thesis no. 17635 p.30; the
+    reference reimplements it at ``ScaramuzzaCamera.cc:227-575``
+    estimateIntrinsics): per view, the third row of the collinearity
+    cross-product p × (R[X Y 1]ᵀ) = 0 is polynomial-free and linear in
+    (r11, r12, r21, r22, t1, t2) — solved by SVD null space; the missing
+    (r31, r32) follow from orthonormality (sign candidates disambiguated
+    by requiring a positive quadratic coefficient and positive t3 in a
+    per-view polynomial solve).  A final joint least squares over all
+    views recovers the forward polynomial [a0, 0, a2, a3, a4] and every
+    view's t3.
+
+    Uses CENTERED pixel coordinates (u, v relative to the image center) —
+    the collinearity constraint is stated about the distortion center.
+    Returns (poly4 = [a0 a2 a3 a4], rvecs, tvecs)."""
+    V, N = uvs.shape[:2]
+    ctr = np.array([width / 2.0, height / 2.0])
+    X, Y = obj[:, 0], obj[:, 1]
+    Rs, Ts = [], []
+    for vi in range(V):
+        u = uvs[vi, :, 0] - ctr[0]
+        v = uvs[vi, :, 1] - ctr[1]
+        M = np.stack([-v * X, -v * Y, u * X, u * Y, -v, u], axis=1)
+        _, _, Vt = np.linalg.svd(M, full_matrices=True)
+        h = -Vt[-1]
+        sr11, sr12, sr21, sr22, st1, st2 = h
+        AA = (sr11 * sr12 + sr21 * sr22) ** 2
+        BB = sr11 ** 2 + sr21 ** 2
+        CC = sr12 ** 2 + sr22 ** 2
+        disc = np.sqrt((CC - BB) ** 2 + 4.0 * AA)
+        cands = []
+        for s32sq in ((-(CC - BB) + disc) / 2.0, (-(CC - BB) - disc) / 2.0):
+            if s32sq < 0:
+                continue
+            for sign in (-1.0, 1.0):
+                sr32 = sign * np.sqrt(s32sq)
+                if s32sq < 1e-16:
+                    for s31 in (np.sqrt(max(CC - BB, 0.0)),
+                                -np.sqrt(max(CC - BB, 0.0))):
+                        cands.append((s31, sr32))
+                    break
+                cands.append((-(sr11 * sr12 + sr21 * sr22) / sr32, sr32))
+        # per-view polynomial probe over every (sign, scale) candidate.
+        # The probed polynomial is w(ρ) = −f(ρ), the FORWARD ray
+        # z-component (w0 = −a0 > 0); accept candidates with w0 > 0 and
+        # t3 > 0 (board in front), keep the lowest-residual one.  (The
+        # reference's x(2)>0 check tests the same cross-product system in
+        # its flipped native frame, ScaramuzzaCamera.cc:355-425.)
+        best, best_res = None, np.inf
+        for (sr31, sr32) in cands:
+            lam = 1.0 / np.sqrt(sr11 ** 2 + sr21 ** 2 + sr31 ** 2)
+            for s in (lam, -lam):
+                H = s * np.array([[sr11, sr12, st1],
+                                  [sr21, sr22, st2],
+                                  [sr31, sr32, 0.0]])
+                Aq = H[1, 0] * X + H[1, 1] * Y + H[1, 2]
+                Cq = H[0, 0] * X + H[0, 1] * Y + H[0, 2]
+                Bq = v * (H[2, 0] * X + H[2, 1] * Y)
+                Dq = u * (H[2, 0] * X + H[2, 1] * Y)
+                rho = np.sqrt(u * u + v * v)
+                A_mat = np.zeros((2 * N, 4))
+                b_vec = np.zeros(2 * N)
+                A_mat[0::2, 0], A_mat[1::2, 0] = Aq, Cq
+                A_mat[0::2, 1], A_mat[1::2, 1] = Aq * rho, Cq * rho
+                A_mat[0::2, 2], A_mat[1::2, 2] = Aq * rho ** 2, Cq * rho ** 2
+                A_mat[0::2, 3], A_mat[1::2, 3] = -v, -u
+                b_vec[0::2], b_vec[1::2] = Bq, Dq
+                x, *_ = np.linalg.lstsq(A_mat, b_vec, rcond=None)
+                res = float(np.linalg.norm(A_mat @ x - b_vec))
+                if x[0] > 0 and x[3] > 0 and res < best_res:
+                    best, best_res = H, res
+        if best is None:  # degenerate view: keep the first candidate
+            sr31, sr32 = cands[0]
+            lam = 1.0 / np.sqrt(sr11 ** 2 + sr21 ** 2 + sr31 ** 2)
+            best = lam * np.array([[sr11, sr12, st1],
+                                   [sr21, sr22, st2],
+                                   [sr31, sr32, 0.0]])
+        R = np.stack([best[:, 0], best[:, 1],
+                      np.cross(best[:, 0], best[:, 1])], axis=1)
+        Rs.append(R)
+        Ts.append(best[:, 2].copy())
+
+    # joint solve: [a0, a2, a3, a4] + per-view t3
+    A_mat = np.zeros((2 * V * N, 4 + V))
+    b_vec = np.zeros(2 * V * N)
+    for vi in range(V):
+        u = uvs[vi, :, 0] - ctr[0]
+        v = uvs[vi, :, 1] - ctr[1]
+        R, T = Rs[vi], Ts[vi]
+        Aq = R[1, 0] * X + R[1, 1] * Y + T[1]
+        Cq = R[0, 0] * X + R[0, 1] * Y + T[0]
+        Bq = v * (R[2, 0] * X + R[2, 1] * Y)
+        Dq = u * (R[2, 0] * X + R[2, 1] * Y)
+        rho = np.sqrt(u * u + v * v)
+        r0, r1 = 2 * vi * N, 2 * vi * N + 2 * N
+        rows = slice(r0, r1)
+        blk = np.zeros((2 * N, 4 + V))
+        for k, p in enumerate((np.ones_like(rho), rho ** 2, rho ** 3,
+                               rho ** 4)):
+            blk[0::2, k] = Aq * p
+            blk[1::2, k] = Cq * p
+        blk[0::2, 4 + vi] = -v
+        blk[1::2, 4 + vi] = -u
+        A_mat[rows] = blk
+        b_vec[r0:r1:2] = Bq
+        b_vec[r0 + 1:r1:2] = Dq
+    x, *_ = np.linalg.lstsq(A_mat, b_vec, rcond=None)
+    poly4 = -x[:4]  # solved w(ρ) = −f(ρ): negate back to OCAM f coeffs
+    rvecs = np.stack([_nearest_rvec(R) for R in Rs])
+    tvecs = np.stack([np.array([T[0], T[1], x[4 + vi]])
+                      for vi, T in enumerate(Ts)])
+    return poly4, rvecs, tvecs
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +287,35 @@ def _project_mei(th, Pc):
                       th[2] * p[..., 1] + th[4]], axis=-1)
 
 
+def _project_scaramuzza(th, Pc):
+    """θ = [a0 a2 a3 a4 cx cy C D E] (forward polynomial with a1 = 0,
+    affine stretch [[C, D], [E, 1]], distortion center) — the OCAM model of
+    ``ScaramuzzaCamera.cc:599-653`` parameterized by its FORWARD polynomial.
+
+    The forward model maps radial distance ρ to ray z-component −f(ρ); a
+    camera point (x, y, z) with r = √(x²+y²) therefore projects to the ρ
+    solving f(ρ) + (z/r)·ρ = 0.  Solved with a statically-unrolled Newton
+    iteration (differentiable; exact at quartic convergence), seeded with
+    the pure-a0 root ρ = −a0·r/z."""
+    a0, a2, a3, a4 = th[0], th[1], th[2], th[3]
+    x, y, z = Pc[..., 0], Pc[..., 1], Pc[..., 2]
+    r = jnp.sqrt(x * x + y * y)
+    m = z / jnp.maximum(r, 1e-12)
+    f = lambda p: a0 + p * p * (a2 + p * (a3 + p * a4))
+    df = lambda p: p * (2.0 * a2 + p * (3.0 * a3 + 4.0 * a4 * p))
+    rho = jnp.maximum(-a0 / jnp.maximum(m, 1e-6), 1e-6)
+    for _ in range(12):
+        g = f(rho) + m * rho
+        rho = jnp.clip(rho - g / (df(rho) + m), 1e-6, 1e6)
+    scale = rho / jnp.maximum(r, 1e-12)
+    u = x * scale
+    v = y * scale
+    return jnp.stack([th[6] * u + th[7] * v + th[4],
+                      th[8] * u + v + th[5]], axis=-1)
+
+
 _PROJECT = {"pinhole": _project_pinhole, "kannala-brandt": _project_kb,
-            "mei": _project_mei}
+            "mei": _project_mei, "scaramuzza": _project_scaramuzza}
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +405,30 @@ def refine(model: str, theta0: np.ndarray, rvecs: np.ndarray,
     return th, poses[:, :3], poses[:, 3:], rms, per_view
 
 
+def _fit_inv_poly(poly, width: int, height: int, order: int = 6,
+                  n_coeff: int = 12) -> tuple:
+    """Fit the inverse polynomial ρ(θ) by sampling the forward polynomial
+    — the reference's post-init step (``ScaramuzzaCamera.cc:536-572``: ρ
+    sampled to (W+H)/2, order-4 fit to avoid overfitting; stored padded
+    to the 12-coefficient layout).  θ here follows ``scaramuzza_project``
+    (θ = atan2(−P_z, r) with P_z = −f(ρ) the lifted ray's z), so the
+    fitted inverse inverts OUR lift exactly
+    (``tests/test_camera.py::test_scaramuzza_roundtrip``).  Order 6 over
+    the image radius: the fit source is the analytic forward polynomial
+    (noise-free), so the reference's order-4 anti-overfit guard does not
+    apply."""
+    rho = np.arange(0.1, float(np.hypot(width, height)) / 2.0, 0.1)
+    z = np.zeros_like(rho)
+    for k, c in enumerate(poly):
+        z += c * rho ** k
+    theta = np.arctan2(z, rho)  # = atan2(-(−f), ρ) flipped: −P_z = f
+    A = np.stack([theta ** i for i in range(order + 1)], axis=1)
+    c, *_ = np.linalg.lstsq(A, rho, rcond=None)
+    out = np.zeros(n_coeff)
+    out[:order + 1] = c
+    return tuple(float(x) for x in out)
+
+
 def _params_from_theta(model: str, th: np.ndarray, width: int, height: int):
     if model == "pinhole":
         return PinholeParams(fx=float(th[0]), fy=float(th[1]),
@@ -270,6 +442,13 @@ def _params_from_theta(model: str, th: np.ndarray, width: int, height: int):
                                  k2=float(th[4]), k3=float(th[5]),
                                  k4=float(th[6]), k5=float(th[7]),
                                  width=width, height=height)
+    if model == "scaramuzza":
+        poly = (float(th[0]), 0.0, float(th[1]), float(th[2]), float(th[3]))
+        return ScaramuzzaParams(
+            poly=poly, inv_poly=_fit_inv_poly(poly, width, height),
+            C=float(th[6]), D=float(th[7]), E=float(th[8]),
+            center_x=float(th[4]), center_y=float(th[5]),
+            width=width, height=height)
     if model == "mei":
         return MeiParams(xi=float(th[0]), gamma1=float(th[1]),
                          gamma2=float(th[2]), u1=float(th[3]),
@@ -289,14 +468,23 @@ def calibrate(model: str, image_points: List[np.ndarray], rows: int,
     """
     model = model.lower()
     if model not in _PROJECT:
-        raise ValueError(
-            f"model {model!r} not in {sorted(_PROJECT)} "
-            "(scaramuzza calibration is out of scope; see module docstring)")
+        raise ValueError(f"model {model!r} not in {sorted(_PROJECT)}")
     obj = board_points(rows, cols, square)
     uvs = np.asarray(image_points, np.float64)
     V = uvs.shape[0]
     if V < 3:
         raise ValueError("need >= 3 views for a stable calibration")
+
+    if model == "scaramuzza":
+        poly4, rvecs, tvecs = _scaramuzza_init(obj, uvs, width, height)
+        theta0 = np.concatenate([poly4, [width / 2.0, height / 2.0,
+                                         1.0, 0.0, 0.0]])
+        th, rvecs, tvecs, rms, per_view = refine(
+            model, theta0, rvecs, tvecs, obj, uvs, valid)
+        return CalibrationResult(
+            model=model, intrinsics=th,
+            params=_params_from_theta(model, th, width, height),
+            rms_px=rms, per_view_rms_px=per_view, rvecs=rvecs, tvecs=tvecs)
 
     Hs = [homography(obj[:, :2], uvs[v]) for v in range(V)]
     K4 = zhang_intrinsics(Hs)
@@ -357,6 +545,21 @@ def write_camera_yaml(path: str, result: CalibrationResult,
             f"   k4: {p.k4:.10e}", f"   k5: {p.k5:.10e}",
             f"   mu: {p.mu:.10e}", f"   mv: {p.mv:.10e}",
             f"   u0: {p.u0:.10e}", f"   v0: {p.v0:.10e}",
+        ]
+    elif result.model == "scaramuzza":
+        # the reference's OCAM layout (ScaramuzzaCamera.cc:108-140)
+        lines += [
+            "model_type: scaramuzza",
+            f"camera_name: {camera_name}",
+            f"image_width: {p.width}", f"image_height: {p.height}",
+            "poly_parameters:",
+            *[f"   p{i}: {c:.10e}" for i, c in enumerate(p.poly)],
+            "inv_poly_parameters:",
+            *[f"   p{i}: {c:.10e}" for i, c in enumerate(p.inv_poly)],
+            "affine_parameters:",
+            f"   ac: {p.C:.10e}", f"   ad: {p.D:.10e}",
+            f"   ae: {p.E:.10e}",
+            f"   cx: {p.center_x:.10e}", f"   cy: {p.center_y:.10e}",
         ]
     else:
         lines += [

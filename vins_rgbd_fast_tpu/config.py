@@ -106,6 +106,11 @@ class VinsConfig:
     # MEI: intrinsics = (gamma1, gamma2, u0, v0), distortion = radtan, + xi
     kb_distortion: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     mirror_xi: float = 0.0
+    # SCARAMUZZA (OCAM): forward poly p0..p4, inverse poly p0..p11, affine
+    # (ac, ad, ae, cx, cy) — ScaramuzzaCamera.cc:64-140 YAML layout
+    ocam_poly: Tuple[float, ...] = ()
+    ocam_inv_poly: Tuple[float, ...] = ()
+    ocam_affine: Tuple[float, ...] = (1.0, 0.0, 0.0, 320.0, 240.0)
 
     # --- TPU-specific static shape knobs (no reference analog) ---
     max_features: int = 0  # 0 -> derived: max_cnt rounded up to a lane multiple
@@ -152,10 +157,17 @@ class VinsConfig:
                 k1=k1, k2=k2, p1=p1, p2=p2,
                 width=self.image_width, height=self.image_height,
             )
+        if mt == "SCARAMUZZA":
+            C, D, E, cx, cy = self.ocam_affine
+            return make_camera(
+                "SCARAMUZZA", poly=tuple(self.ocam_poly),
+                inv_poly=tuple(self.ocam_inv_poly),
+                C=C, D=D, E=E, center_x=cx, center_y=cy,
+                width=self.image_width, height=self.image_height,
+            )
         raise NotImplementedError(
-            f"config-level construction wires PINHOLE/KANNALA_BRANDT/MEI; "
-            f"build {self.model_type} (OCAM polynomial YAML differs) via "
-            f"models.make_camera directly"
+            f"unknown model_type {self.model_type!r}; expected PINHOLE, "
+            f"KANNALA_BRANDT, MEI, or SCARAMUZZA"
         )
 
     def ric_matrix(self) -> np.ndarray:
@@ -273,6 +285,19 @@ def load_config(path: str) -> VinsConfig:
     mirror = raw.get("mirror_parameters", {})
     if mirror:
         kwargs["mirror_xi"] = float(mirror.get("xi", 0.0))
+    opoly = raw.get("poly_parameters", {})
+    oinv = raw.get("inv_poly_parameters", {})
+    oaff = raw.get("affine_parameters", {})
+    if opoly and oinv:  # SCARAMUZZA (ScaramuzzaCamera.cc:64-140)
+        kwargs["ocam_poly"] = tuple(
+            float(opoly[f"p{i}"]) for i in range(len(opoly)))
+        kwargs["ocam_inv_poly"] = tuple(
+            float(oinv[f"p{i}"]) for i in range(len(oinv)))
+        kwargs["ocam_affine"] = (
+            float(oaff.get("ac", 1.0)), float(oaff.get("ad", 0.0)),
+            float(oaff.get("ae", 0.0)),
+            float(oaff.get("cx", kwargs["image_width"] / 2.0)),
+            float(oaff.get("cy", kwargs["image_height"] / 2.0)))
     if kwargs["fisheye"] and not kwargs["fisheye_mask"]:
         import os
         d = os.path.dirname(os.path.abspath(path))

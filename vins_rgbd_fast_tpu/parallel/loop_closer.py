@@ -138,7 +138,8 @@ class BatchedLoopCloser:
     def __init__(self, cam: CameraModel, ric: np.ndarray, tic: np.ndarray,
                  batch: int, pg_cfg: Optional[PoseGraphConfig] = None,
                  skip_cnt: int = 0, skip_dis: float = 0.0,
-                 k_pad: int = 0, seq_pad: int = 0, db_capacity: int = 0):
+                 k_pad: int = 0, seq_pad: int = 0, db_capacity: int = 0,
+                 pgo_period: float = 0.0):
         self.cfg = pg_cfg or PoseGraphConfig()
         self.cam = cam
         self.ric = np.asarray(ric)
@@ -166,9 +167,17 @@ class BatchedLoopCloser:
         # into the per-sequence DBs at the START of the next dispatch (same
         # one-segment scoring deferral as before, zero host round-trip)
         self._pending_append: list = []
+        # PGO cadence in STREAM seconds (reference optimize4DoF thread
+        # wakes every 2 s, pose_graph.cpp:410-581); 0 = every segment.
+        # Pending loops between wakeups ride the drift composition exactly
+        # like the reference
+        self.pgo_period = float(pgo_period)
+        self._pgo_last_t: dict = {}
+        self._pgo_backlog: set = set()
         self._pgo_vfns: dict = {}
         self._dbs_stacked = None  # stacked DB snapshot for device verify
-        self._st1 = self._st2 = self._st3 = None  # pipeline stage slots
+        # pipeline stage slots (st0 = packed gating token, newest)
+        self._st0 = self._st1 = self._st2 = self._st3 = None
         self.n_keyframes = 0
         self.n_loops = 0
 
@@ -187,9 +196,12 @@ class BatchedLoopCloser:
         c._travel_anchor = [None if a is None else np.asarray(a).copy()
                             for a in self._travel_anchor]
         c._pending_append = []
+        c.pgo_period = self.pgo_period
+        c._pgo_last_t = dict(self._pgo_last_t)
+        c._pgo_backlog = set(self._pgo_backlog)
         c._pgo_vfns = self._pgo_vfns  # shared compiled-solver cache
         c._dbs_stacked = None
-        c._st1 = c._st2 = c._st3 = None
+        c._st0 = c._st1 = c._st2 = c._st3 = None
         c.n_keyframes, c.n_loops = self.n_keyframes, self.n_loops
         c.graphs = [g.clone() for g in self.graphs]
         return c
@@ -316,14 +328,40 @@ class BatchedLoopCloser:
         per-sequence retrieval scoring) in compile-stable chunks.  Returns
         an opaque pending token for :meth:`consume_finish`; device work
         proceeds asynchronously."""
+        return self._gate_dispatch(self.pack_dispatch(batch, outs))
+
+    # ------------------------------------------------------------------
+    def pack_dispatch(self, batch: FrameBatch, outs: ScanOutputs):
+        """Enqueue the tiny gating pack (is_keyframe, P, ts -> one (T,B,5)
+        array) IMMEDIATELY after its scan and before the next segment's
+        scan is dispatched: the pack then completes together with its scan,
+        so the later gating readback never waits out a newer scan.  Returns
+        the stage-0 token for :meth:`pipeline_advance` /
+        :meth:`_gate_dispatch` (device refs retained)."""
+        if batch is None:
+            return None
+        packed_d = _pack_gating(outs.is_keyframe, outs.P, batch.ts)
+        try:
+            packed_d.copy_to_host_async()
+        except AttributeError:
+            pass
+        return dict(batch=batch, outs=outs, packed=packed_d)
+
+    # ------------------------------------------------------------------
+    def _gate_dispatch(self, tok):
+        """Stage 1: gating readback (sync 1) + all device dispatches
+        (keyframe gather, batched extraction, per-sequence retrieval
+        scoring) in compile-stable chunks."""
+        if tok is None:
+            return None
+        batch, outs = tok["batch"], tok["outs"]
         _t0 = _time.perf_counter()
         # flush the PREVIOUS segment's deferred DB appends before scoring —
         # scoring therefore always sees segments ≤ k-1, exactly as the
         # serial consume() did when appends ran at finish-time
         self.flush()
         # sync 1: gating inputs (is_keyframe flags + positions + stamps)
-        packed = np.asarray(jax.device_get(
-            _pack_gating(outs.is_keyframe, outs.P, batch.ts)))
+        packed = np.asarray(jax.device_get(tok["packed"]))
         is_kf = packed[..., 0] > 0.5
         P_all = packed[..., 1:4]
         ts = packed[..., 4]
@@ -457,22 +495,38 @@ class BatchedLoopCloser:
         behind the scan just issued — the device never idles and the host
         never waits out a scan inside loop-closure work.
 
-        Stages per segment k (oldest first): PGO fetch+apply (k-3),
-        verification fetch + loop acceptance + PGO dispatch (k-2),
+        Stages per segment k (oldest first): PGO fetch+apply (k-4),
+        verification fetch + loop acceptance + PGO dispatch (k-3),
         extraction fetch + keyframe insertion + detection + verification
-        dispatch (k-1), gating readback + extraction/scoring dispatch (k).
+        dispatch (k-2), gating readback + extraction/scoring dispatch
+        (k-1), gating pack retained (k).
 
-        Loop corrections therefore land 2-3 segments after detection —
+        The gating pack for segment k is enqueued by :meth:`pack_dispatch`
+        right after scan k (call it BEFORE this method, which dispatches
+        behind scan k) and read back only on the NEXT advance — by then
+        scan k has completed under scan k+1, so no host fetch in the
+        steady state ever waits on an incomplete device op and every new
+        dispatch queues behind the in-flight scan: the device never
+        idles, the host never stalls.
+
+        Loop corrections therefore land 3-4 segments after detection —
         the reference's optimize4DoF thread applies them on a 2 s wakeup
         cadence the same way (pose_graph.cpp:410-581).
 
         Pass ``batch=None`` to drain one stage.  Returns the completed
         (oldest) segment's stats dict, or None."""
+        tok = (self.pack_dispatch(batch, outs)
+               if batch is not None else None)
+        return self.pipeline_advance_packed(tok)
+
+    def pipeline_advance_packed(self, tok):
+        """Advance the 5-stage pipeline with an already-packed stage-0
+        token from :meth:`pack_dispatch` (None to drain one stage)."""
         stats = self._stage_pgo(self._st3) if self._st3 is not None else None
         self._st3 = self._stage_accept(self._st2)
         self._st2 = self._stage_insert(self._st1)
-        self._st1 = (self.consume_dispatch(batch, outs)
-                     if batch is not None else None)
+        self._st1 = self._gate_dispatch(self._st0)
+        self._st0 = tok
         return stats
 
     def pipeline_drain(self) -> list:
@@ -480,12 +534,20 @@ class BatchedLoopCloser:
         segment's scan has been dispatched + advanced); flushes deferred
         DB appends.  Returns the remaining segments' stats dicts."""
         out = []
-        while (self._st1 is not None or self._st2 is not None
-               or self._st3 is not None):
+        while (self._st0 is not None or self._st1 is not None
+               or self._st2 is not None or self._st3 is not None):
             st = self.pipeline_advance(None, None)
             if st is not None:
                 out.append(st)
         self.flush()
+        # final PGO wakeup: solve any sequences still deferred by the
+        # cadence gate (the reference thread's next 2 s tick would)
+        if self._pgo_backlog:
+            due, self._pgo_backlog = set(self._pgo_backlog), set()
+            for b in due:
+                g = self.graphs[b]
+                self._pgo_last_t[b] = g.keyframes[-1].t if g.keyframes else 0.0
+            self._optimize_graphs(due)
         return out
 
     # ------------------------------------------------------------------
@@ -612,7 +674,20 @@ class BatchedLoopCloser:
                     n_loops += 1
                     looped.add(b)
         self.n_loops += n_loops
-        pgo = self._pgo_dispatch(looped)
+        # PGO cadence gate (stream time): defer sequences whose last solve
+        # is newer than pgo_period; deferred loops stay in the backlog and
+        # ride the drift composition until the next wakeup
+        self._pgo_backlog |= looped
+        due = set()
+        for b in self._pgo_backlog:
+            g = self.graphs[b]
+            t_now = g.keyframes[-1].t if g.keyframes else 0.0
+            if (self.pgo_period <= 0
+                    or t_now - self._pgo_last_t.get(b, -1e18) >= self.pgo_period):
+                due.add(b)
+                self._pgo_last_t[b] = t_now
+        self._pgo_backlog -= due
+        pgo = self._pgo_dispatch(due)
         st3 = dict(st2)
         st3.pop("cands"); st3.pop("pend_v")
         st3.update(pgo=pgo, n_loops=n_loops,
