@@ -116,7 +116,11 @@ def test_batched_loop_closure_equivalent_to_sequential():
                 float(np.asarray(jax.device_get(batch.ts))[k, 0]),
                 np.asarray(host.P[k, 0]), np.asarray(host.Q[k, 0]),
                 np.asarray(host.wp_world[k, 0]), np.asarray(host.wp_uv[k, 0]),
-                np.asarray(host.wp_norm[k, 0]), np.asarray(host.wp_valid[k, 0]))
+                np.asarray(host.wp_norm[k, 0]), np.asarray(host.wp_valid[k, 0]),
+                # same inputs as the batched path: it samples keypoint depth
+                # for the depth-aided loop PnP, so the sequential reference
+                # must too or marginal loops diverge
+                depth=np.asarray(jax.device_get(batch.depths)[k, 0]))
     assert len(ref.keyframes) == len(g0.keyframes)
     assert [(lp["cur"], lp["old"]) for lp in ref.loops] == \
         [(lp["cur"], lp["old"]) for lp in g0.loops]

@@ -56,3 +56,46 @@ def test_full_pipeline_synthetic_sequence():
     print(f"full-pipeline ATE: {ate:.4f} m over {travelled:.2f} m travelled")
     assert np.isfinite(ate)
     assert ate < max(0.03 * travelled, 0.06), (ate, travelled)
+
+
+@pytest.mark.slow
+def test_live_imu_jitter_holds_frame_instead_of_dropping():
+    """Live-ordering: images can arrive AHEAD of their IMU coverage (sensor
+    jitter).  The pipeline must HOLD the paired frame until IMU for t+td is
+    available — the reference blocks on IMUAvailable
+    (estimator_nodelet.cpp:462-509) — never silently drop it."""
+    n = 20
+    seq = syn.make_trajectory(n, RIG, seed=3, omega_scale=0.15, acc_scale=0.3)
+    cfg = _make_cfg()
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           "ric": tuple(seq.ric.ravel().tolist()),
+                           "tic": tuple(seq.tic.tolist())})
+    pipe = VinsPipeline(cfg, dtype=jnp.float32)
+
+    frames = list(syn.frames(seq, RIG))
+    # interleave: push each frame, then spin BEFORE its IMU has arrived —
+    # the frame must be held, then processed once IMU lands
+    imu = list(seq.imu)
+    imu_i = 0
+    outs = []
+    for k, (t, img, depth) in enumerate(frames):
+        pipe.push_image(t, np.asarray(img))
+        pipe.push_depth(t, np.asarray(depth))
+        # spin with IMU lagging a full frame behind: frame k is paired but
+        # has no IMU coverage yet
+        out = pipe.spin_once()
+        if out is not None:
+            outs.append(out)
+        # now deliver IMU up to just past this frame's stamp (+td margin)
+        while imu_i < len(imu) and imu[imu_i][0] <= t + 0.5 / RIG.frame_rate:
+            ti, a, w = imu[imu_i]
+            pipe.push_imu(ti, a, w)
+            imu_i += 1
+        out = pipe.spin_once()
+        if out is not None:
+            outs.append(out)
+    # every frame except at most the trailing one must have been PROCESSED
+    # (early init frames return None but still consume the frame; a dropped
+    # frame would leave a gap in the processed count)
+    assert pipe.estimator._step >= n - 1, (
+        f"{pipe.estimator._step} frames processed of {n}: frames lost")

@@ -78,6 +78,20 @@ class SyntheticRig:
     cy: float = 240.0
     imu_rate: float = 200.0
     frame_rate: float = 20.0
+    # radtan distortion (reference rigs all carry it, e.g.
+    # config/realsense/vio.yaml distortion_parameters): the renderer then
+    # produces DISTORTED images/depth consistent with a PinholeCamera of
+    # the same coefficients, so the pipeline's 8-iteration fixed-point
+    # undistort (models/camera.py lift) runs — and is priced — on every
+    # tracked feature
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2))
 
 
 @partial(jax.jit, static_argnames=("rig",))
@@ -103,6 +117,18 @@ def _render_core(rig: SyntheticRig, P_w, q_wc, dyn_center, dyn_radius):
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
     xn = (xx - rig.cx) / rig.fx
     yn = (yy - rig.cy) / rig.fy
+    if rig.has_distortion:
+        # each DISTORTED pixel receives the ray of its undistorted
+        # normalized point: the SAME fixed-point inversion the pipeline's
+        # camera lift runs (models/camera.py `_lift_pinhole`), so rendered
+        # geometry and the estimator's camera model agree exactly
+        from ..models.camera import _radtan_distort
+
+        p_d = jnp.stack([xn, yn], axis=-1)
+        p_u = p_d - _radtan_distort(p_d, rig.k1, rig.k2, rig.p1, rig.p2)
+        for _ in range(7):
+            p_u = p_d - _radtan_distort(p_u, rig.k1, rig.k2, rig.p1, rig.p2)
+        xn, yn = p_u[..., 0], p_u[..., 1]
     d_cam = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)  # (H,W,3), z=1
     R_wc = quat.q2R(q_wc)
     d_w = jnp.einsum("ij,hwj->hwi", R_wc, d_cam)
@@ -360,6 +386,52 @@ def make_revisit_trajectory(
         ric=np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]]),
         tic=np.asarray(tic, np.float64),
     )
+
+
+def corrupt_imu(seq: SyntheticSequence, seed: int = 0,
+                gyr_noise: float = 0.0, acc_noise: float = 0.0,
+                gyr_bias_ramp: float = 0.0, acc_bias: float = 0.0,
+                gyr_pulse: float = 0.0, pulse_frac=(0.25, 0.4),
+                pulse_axis=(0.0, 0.0, 1.0),
+                ) -> SyntheticSequence:
+    """Return ``seq`` with CORRUPTED IMU measurements (ground-truth poses
+    unchanged) — the drift source for loop-closure benches and tests.
+
+    ``gyr_noise``/``acc_noise``: white noise σ per sample (rad/s, m/s²).
+    ``gyr_bias_ramp``: a slowly RAMPING gyro bias reaching this magnitude
+    (rad/s) at the end of the sequence, split across axes — it ramps faster
+    than the estimator's random-walk prior (gyr_w) tracks, so heading error
+    accumulates exactly the way the pose graph's 4-DoF correction exists to
+    cancel (``pose_graph.cpp:410-581``).  ``acc_bias``: constant
+    accelerometer bias magnitude (m/s²).
+
+    ``gyr_pulse``: a gyro disturbance of this magnitude (rad/s) about
+    ``pulse_axis`` (body frame) during the ``pulse_frac`` fraction of the
+    sequence.  A fast pulse about the GRAVITY axis is the canonical
+    drift source a tightly-coupled VIO cannot absorb: the bias
+    random-walk prior can't track it, the induced global-yaw error is
+    unobservable (the window's landmarks are marginalized within 10
+    frames), so the estimator carries a PERMANENT heading+position offset
+    afterward — the exact error class loop closure exists to remove."""
+    rng = np.random.default_rng((seed, 77))
+    t_end = max(float(seq.imu[-1][0]), 1e-9)
+    gdir = rng.normal(size=3)
+    gdir /= np.linalg.norm(gdir)
+    adir = rng.normal(size=3)
+    adir /= np.linalg.norm(adir)
+    ab = acc_bias * adir
+    pdir = np.asarray(pulse_axis, np.float64)
+    pdir /= max(np.linalg.norm(pdir), 1e-9)
+    p0, p1 = pulse_frac[0] * t_end, pulse_frac[1] * t_end
+    out = []
+    for (t, acc, gyr) in seq.imu:
+        gn = gyr_noise * rng.normal(size=3) if gyr_noise else 0.0
+        an = acc_noise * rng.normal(size=3) if acc_noise else 0.0
+        gb = (gyr_bias_ramp * (t / t_end)) * gdir
+        if gyr_pulse and p0 <= t < p1:
+            gb = gb + gyr_pulse * pdir
+        out.append((t, np.asarray(acc) + an + ab, np.asarray(gyr) + gn + gb))
+    return seq._replace(imu=out)
 
 
 def camera_pose(seq: SyntheticSequence, k: int):

@@ -60,17 +60,38 @@ def load_pattern_yml(path: str) -> np.ndarray:
 
 
 def _select_pattern() -> np.ndarray:
+    import logging
+
     p = os.environ.get("VINS_BRIEF_PATTERN", REFERENCE_PATTERN)
-    if p and p != "generated" and os.path.exists(p):
-        try:
-            return load_pattern_yml(p)
-        except Exception:
-            pass
+    if p and p != "generated":
+        if os.path.exists(p):
+            try:
+                return load_pattern_yml(p)
+            except Exception as e:  # noqa: BLE001 — fall back, but loudly
+                logging.getLogger(__name__).warning(
+                    "BRIEF pattern %s failed to load (%s): falling back to "
+                    "the generated pattern — descriptors will NOT match "
+                    "maps built with the file pattern", p, e)
+        elif "VINS_BRIEF_PATTERN" in os.environ or p != REFERENCE_PATTERN:
+            logging.getLogger(__name__).warning(
+                "BRIEF pattern %s not found: using the generated pattern — "
+                "descriptors will NOT match maps built with the file "
+                "pattern", p)
     return make_pattern()
 
 
 _PATTERN_NP = _select_pattern()
 _PATTERN = jnp.asarray(_PATTERN_NP)
+
+
+def pattern_hash() -> int:
+    """Stable 63-bit hash of the active test-pair pattern.  Persisted in
+    pose-graph saves so a load under a DIFFERENT pattern (generated vs
+    reference file, or another machine without the file) is detected
+    instead of silently mismatching every stored descriptor."""
+    import zlib
+
+    return int(zlib.crc32(_PATTERN_NP.tobytes()))
 
 
 def smooth(img: jax.Array) -> jax.Array:

@@ -70,6 +70,43 @@ class PoseGraphConfig:
     pad_edges_min: int = 8
 
 
+class LazyRow:
+    """Zero-cost view of one row of a (still-)device-resident array.
+
+    The batched loop closer stores keyframe descriptors as rows of the
+    extraction chunk's device arrays: eager per-row device slices cost a
+    tunneled dispatch each (~54 per chunk measured as a 3x stage-time
+    regression), and host fetches cost ~50 ms/MB — but the hot path never
+    reads them (verification gathers from the chunk/DB arrays in-kernel).
+    Materialization (``np.asarray``) happens only on the rare host paths
+    (fallback verify, realignment re-verify, save) and is cached."""
+
+    __slots__ = ("_arr", "_row", "_host")
+
+    def __init__(self, arr, row: int):
+        self._arr = arr
+        self._row = int(row)
+        self._host = None
+
+    def __array__(self, dtype=None, copy=None):
+        if self._host is None:
+            self._host = np.asarray(self._arr[self._row])
+        a = self._host
+        if dtype is not None and a.dtype != dtype:
+            a = a.astype(dtype)
+        return a
+
+    @property
+    def shape(self):
+        return tuple(self._arr.shape[1:])
+
+    def __getitem__(self, k):
+        return np.asarray(self)[k]
+
+    def copy(self):
+        return np.array(np.asarray(self))
+
+
 class KeyFrameData(NamedTuple):
     """Everything the pose graph stores per keyframe (host-side numpy)."""
 
@@ -89,10 +126,16 @@ class KeyFrameData(NamedTuple):
 
 
 def _extract_kf_device(cfg: PoseGraphConfig, cam: CameraModel,
-                       img: jax.Array, wp_uv: jax.Array, wp_valid: jax.Array):
+                       img: jax.Array, wp_uv: jax.Array, wp_valid: jax.Array,
+                       depth: Optional[jax.Array] = None):
     """Device part of KeyFrame construction (``keyframe.cpp:80-119``):
     fresh FAST-20 keypoints + BRIEF for retrieval, BRIEF on the VIO window
-    points for matching."""
+    points for matching.
+
+    ``depth`` (H, W), when given, is sampled at the keypoints and carried
+    as ``kp_norm``'s third channel — loop verification then solves a
+    depth-aided PnP (``ops.ransac._pnp_gn``), which the 2D-3D-only
+    reference cannot (keyframe.cpp:195-249)."""
     if jax.default_backend() == "tpu":
         # fused Pallas FAST+NMS stencil (bit-exact; same gate as the
         # tracker's detection path)
@@ -116,7 +159,13 @@ def _extract_kf_device(cfg: PoseGraphConfig, cam: CameraModel,
     kp_desc, wp_desc = brief.compute_descriptors_pair(
         img, kp_uv, kp_valid, wp_uv, wp_valid)
     rays = cam.lift(kp_uv)
-    kp_norm = rays[:, :2]
+    if depth is None:
+        kp_z = jnp.zeros_like(xs)
+    else:
+        xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, H - 1)
+        kp_z = depth[yi, xi]
+    kp_norm = jnp.concatenate([rays[:, :2], kp_z[:, None]], axis=-1)
     return kp_uv, kp_norm, kp_valid, kp_desc, wp_desc
 
 
@@ -127,9 +176,12 @@ def extract_keyframe_features(
     wp_world: np.ndarray,
     wp_uv: np.ndarray,
     wp_valid: np.ndarray,
+    depth=None,
 ):
     out = _extract_kf_device(cfg, cam, img, jnp.asarray(wp_uv, img.dtype),
-                             jnp.asarray(wp_valid))
+                             jnp.asarray(wp_valid),
+                             None if depth is None
+                             else jnp.asarray(depth, img.dtype))
     return tuple(np.asarray(o) for o in out)
 
 
@@ -281,9 +333,13 @@ def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
     device part instead (one dispatch per segment)."""
 
     @jax.jit
-    def extract(imgs, wp_uv, wp_valid):  # (K,H,W), (K,max_wp,2), (K,max_wp)
-        return jax.vmap(lambda im, uv, v: _extract_kf_device(
-            cfg, cam, im, uv, v))(imgs, wp_uv, wp_valid)
+    def extract(imgs, wp_uv, wp_valid, depths=None):
+        # (K,H,W), (K,max_wp,2), (K,max_wp) [, (K,H,W) depths]
+        if depths is None:
+            return jax.vmap(lambda im, uv, v: _extract_kf_device(
+                cfg, cam, im, uv, v))(imgs, wp_uv, wp_valid)
+        return jax.vmap(lambda im, uv, v, d: _extract_kf_device(
+            cfg, cam, im, uv, v, d))(imgs, wp_uv, wp_valid, depths)
 
     return extract
 
@@ -544,7 +600,9 @@ class PoseGraph:
         # DB every query, ~25 MB at 512 keyframes).
         self._dev_db: Optional[jax.Array] = None  # (cap, max_kp, 256) int8
         self._dev_valid: Optional[jax.Array] = None  # (cap, max_kp) bool
-        self._dev_norm: Optional[jax.Array] = None  # (cap, max_kp, 2) f32
+        self._dev_norm: Optional[jax.Array] = None  # (cap, max_kp, 3) f32:
+        # (norm_x, norm_y, measured depth) — depth feeds the depth-aided
+        # loop PnP (ops.ransac._pnp_gn)
         self._db_size = 0
         # slot -> keyframe index (identity until a compaction; stays sorted)
         self._db_index = np.zeros(0, np.int64)
@@ -616,7 +674,7 @@ class PoseGraph:
         cap = min(cap, self.cfg.max_keyframes)
         db = jnp.zeros((cap,) + tuple(like_shape), jnp.int8)
         dbv = jnp.zeros((cap, like_shape[0]), bool)
-        dbn = jnp.zeros((cap, like_shape[0], 2), jnp.float32)
+        dbn = jnp.zeros((cap, like_shape[0], 3), jnp.float32)
         if self._dev_db is not None:
             n = self._db_size
             db = db.at[:n].set(self._dev_db[:n])
@@ -625,23 +683,41 @@ class PoseGraph:
         self._dev_db, self._dev_valid, self._dev_norm = db, dbv, dbn
 
     def _db_append(self, desc: np.ndarray, valid: Optional[np.ndarray] = None,
-                   norm: Optional[np.ndarray] = None):
+                   norm: Optional[np.ndarray] = None,
+                   kf_index: Optional[int] = None):
         if self._db_size >= self.cfg.max_keyframes:
             # storage cap (HBM-bounded; the reference's map is unbounded):
             # compact instead of silently freezing the map — keep every
             # loop-involved keyframe + the newest half, subsample the rest
             self._db_compact()
+        if self._db_size >= self.cfg.max_keyframes:
+            # compaction could not evict (e.g. loop-protected keyframes
+            # cover the older half): refuse the append — a clamped
+            # dynamic_update_slice would overwrite the newest slot and
+            # desync the slot -> keyframe mapping
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pose-graph retrieval DB full (max_keyframes=%d) and "
+                "uncompactable: keyframe %s not added to retrieval",
+                self.cfg.max_keyframes, kf_index)
+            return
         desc = np.asarray(desc, np.int8)
         if valid is None:
             valid = np.any(desc != 0, axis=-1)
         if norm is None:
-            norm = np.zeros((desc.shape[0], 2), np.float32)
+            norm = np.zeros((desc.shape[0], 3), np.float32)
+        norm = np.asarray(norm, np.float32)
+        if norm.shape[-1] == 2:  # legacy 2-channel norms: no depth
+            norm = np.concatenate(
+                [norm, np.zeros(norm.shape[:-1] + (1,), np.float32)], -1)
         self._ensure_capacity(self._db_size + 1, desc.shape)
         self._dev_db, self._dev_valid, self._dev_norm = _db_update(
             self._dev_db, self._dev_valid, self._dev_norm, jnp.asarray(desc),
             jnp.asarray(valid), jnp.asarray(norm, jnp.float32),
             jnp.asarray(self._db_size, jnp.int32))
-        self._db_index = np.append(self._db_index, self._next_db_index())
+        idx = self._next_db_index() if kf_index is None else int(kf_index)
+        self._db_index = np.append(self._db_index, idx)
         self._db_size += 1
 
     def _next_db_index(self) -> int:
@@ -687,7 +763,7 @@ class PoseGraph:
             self.db_evicted)
 
     def _db_append_block(self, descs, valids, count: Optional[int] = None,
-                         norms=None):
+                         norms=None, kf_indices=None):
         """Append K keyframes in ONE dispatch (segment-deferred appends).
         Accepts host OR device arrays — device inputs stay on device (the
         batched loop closer appends the extractor's still-resident
@@ -696,20 +772,42 @@ class PoseGraph:
         ``count``: number of REAL rows when ``descs`` is padded to a
         compile-stable shape — padding rows are written then overwritten by
         the next append (they sit at slots ≥ ``_db_size`` with zero valid
-        masks, so queries never score them)."""
+        masks, so queries never score them).
+
+        ``kf_indices``: the keyframe indices the real rows stand for.  When
+        the storage cap forces dropping rows (compaction could not free
+        enough), the kept rows still map to THEIR OWN keyframes and later
+        appends are unaffected — deriving indices from last+1 would shift
+        every subsequent slot→keyframe mapping."""
         if not isinstance(descs, jax.Array):
             descs = jnp.asarray(np.asarray(descs, np.int8))
             valids = jnp.asarray(np.asarray(valids, bool))
         if norms is None:
-            norms = jnp.zeros(tuple(descs.shape[:2]) + (2,), jnp.float32)
+            norms = jnp.zeros(tuple(descs.shape[:2]) + (3,), jnp.float32)
         elif not isinstance(norms, jax.Array):
-            norms = jnp.asarray(np.asarray(norms, np.float32))
+            norms = np.asarray(norms, np.float32)
+            if norms.shape[-1] == 2:  # legacy 2-channel norms: no depth
+                norms = np.concatenate(
+                    [norms, np.zeros(norms.shape[:-1] + (1,), np.float32)], -1)
+            norms = jnp.asarray(norms)
         n = int(descs.shape[0]) if count is None else int(count)
         if self._db_size + n > self.cfg.max_keyframes:
             self._db_compact()
         k = min(n, self.cfg.max_keyframes - self._db_size)
         if k <= 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pose-graph retrieval DB full (max_keyframes=%d) and "
+                "uncompactable: %d keyframes not added to retrieval",
+                self.cfg.max_keyframes, n)
             return
+        if k < n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pose-graph retrieval DB near cap: dropping %d of %d "
+                "keyframes from retrieval candidacy", n - k, n)
         if self._db_size + int(descs.shape[0]) > self.cfg.max_keyframes:
             # padded write would spill past the hard cap (where
             # dynamic_update_slice clamps the start and corrupts earlier
@@ -721,9 +819,12 @@ class PoseGraph:
             self._dev_db, self._dev_valid, self._dev_norm,
             descs.astype(jnp.int8), valids.astype(bool),
             norms.astype(jnp.float32), jnp.asarray(self._db_size, jnp.int32))
-        start = self._next_db_index()
-        self._db_index = np.append(self._db_index,
-                                   np.arange(start, start + k))
+        if kf_indices is not None:
+            new_idx = np.asarray(kf_indices, np.int64)[:k]
+        else:
+            start = self._next_db_index()
+            new_idx = np.arange(start, start + k)
+        self._db_index = np.append(self._db_index, new_idx)
         self._db_size += k
 
     def detect_scores_batch(self, descs: np.ndarray,
@@ -768,12 +869,15 @@ class PoseGraph:
     # ------------------------------------------------------------------
     def add_keyframe(self, img, t: float, P_vio, Q_vio,
                      wp_world, wp_uv, wp_norm, wp_valid,
-                     detect_loop: bool = True) -> Optional[dict]:
+                     detect_loop: bool = True, depth=None) -> Optional[dict]:
         """Build a keyframe, query for loops, optionally optimize.
 
-        Returns loop info dict if a loop was accepted."""
+        ``depth``: the keyframe's depth image — sampled at the retrieval
+        keypoints for the depth-aided loop PnP.  Returns loop info dict if
+        a loop was accepted."""
         kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = extract_keyframe_features(
-            self.cfg, self.cam, jnp.asarray(img), wp_world, wp_uv, wp_valid
+            self.cfg, self.cam, jnp.asarray(img), wp_world, wp_uv, wp_valid,
+            depth=depth,
         )
         return self.add_keyframe_extracted(
             t, P_vio, Q_vio, wp_world, wp_norm, wp_valid,
@@ -813,7 +917,8 @@ class PoseGraph:
             if loop_info is not None:
                 self.accept_loop(kf, cand, loop_info)
         if append_db:
-            self._db_append(kf.kp_desc, kf.kp_valid, kf.kp_norm)
+            self._db_append(kf.kp_desc, kf.kp_valid, kf.kp_norm,
+                            kf_index=kf.index)
         if loop_info is not None and optimize_now:
             self.optimize()
         return loop_info
@@ -835,13 +940,20 @@ class PoseGraph:
         P_vio = self.w_r_vio @ np.asarray(P_vio) + self.w_t_vio
         Q_vio = nq.qmul(nq.R2q(self.w_r_vio), np.asarray(Q_vio))
         wp_world = np.asarray(wp_world) @ self.w_r_vio.T + self.w_t_vio
+        # descriptor fields may arrive as DEVICE arrays or LazyRow views
+        # (the batched loop closer leaves them on-device; verification
+        # reads them there and a host copy is never needed on the hot
+        # path) — np.asarray would force a blocking readback, so pass
+        # non-numpy handles through untouched
+        as_host = (lambda a: a if isinstance(a, (jax.Array, LazyRow))
+                   else np.asarray(a))
         kf = KeyFrameData(
             index=idx, t=t, sequence=self.sequence,
             P_vio=np.asarray(P_vio), Q_vio=np.asarray(Q_vio),
             kp_uv=np.asarray(kp_uv), kp_norm=np.asarray(kp_norm),
-            kp_valid=np.asarray(kp_valid), kp_desc=np.asarray(kp_desc),
+            kp_valid=np.asarray(kp_valid), kp_desc=as_host(kp_desc),
             wp_world=np.asarray(wp_world), wp_norm=np.asarray(wp_norm),
-            wp_valid=np.asarray(wp_valid), wp_desc=np.asarray(wp_desc),
+            wp_valid=np.asarray(wp_valid), wp_desc=as_host(wp_desc),
         )
         cand = None
         if detect_loop and len(self.keyframes) > 0:
@@ -1058,7 +1170,7 @@ class PoseGraph:
             cur=cur.index, old=old.index,
             rel_t=rel_t, rel_yaw=rel_yaw, rel_q=rel_q,
             n_inliers=int(n_inliers),
-            matched_old_norm=old.kp_norm[idx_b],
+            matched_old_norm=np.asarray(old.kp_norm)[idx_b][..., :2],
             inlier_mask=np.asarray(inlier_mask),
         )
 
@@ -1147,7 +1259,9 @@ class PoseGraph:
         Kpad = self._pad(K, cfg.pad_nodes_min)
         # node arrays: yaw/t initialized from corrected poses (warm start /
         # consistency with fixed anchors); pitch/roll fixed from VIO (the
-        # 4-DoF observability split — drift is yaw-only so they coincide)
+        # 4-DoF observability split — drift is yaw-only so they coincide).
+        # All of this is BATCHED numpy: per-node scalar quaternion calls
+        # cost ~0.3 ms each and this runs per PGO wakeup over ≤max_pgo_nodes
         yaw = np.zeros(Kpad)
         tt = np.zeros((Kpad, 3))
         pitch = np.zeros(Kpad)
@@ -1155,48 +1269,67 @@ class PoseGraph:
         valid = np.zeros(Kpad, bool)
         fixed = np.zeros(Kpad, bool)
         vio_yaw = np.zeros(Kpad)
-        for li, kf in enumerate(nodes):
-            ypr_v = nq.R2ypr(nq.q2R(kf.Q_vio))
-            vio_yaw[li], pitch[li], roll[li] = ypr_v
-            P0, Q0 = self._node_init(kf)
-            yaw[li] = float(nq.R2ypr(nq.q2R(Q0))[0])
-            tt[li] = np.asarray(P0)
-            valid[li] = True
-            fixed[li] = (li < n_anchors or kf.index == first
-                         or kf.index == win_start or kf.sequence == 0)
+        Q_vio_n = np.stack([np.asarray(kf.Q_vio) for kf in nodes])
+        P_vio_n = np.stack([np.asarray(kf.P_vio) for kf in nodes])
+        seq_n = np.asarray([kf.sequence for kf in nodes])
+        idx_n = np.asarray([kf.index for kf in nodes])
+        inits = [self._node_init(kf) for kf in nodes]
+        P0 = np.stack([np.asarray(c[0]) for c in inits])
+        Q0 = np.stack([np.asarray(c[1]) for c in inits])
+        ypr_v = nq.R2ypr_batch(nq.q2R_batch(Q_vio_n))
+        vio_yaw[:K] = ypr_v[:, 0]
+        pitch[:K] = ypr_v[:, 1]
+        roll[:K] = ypr_v[:, 2]
+        yaw[:K] = nq.R2ypr_batch(nq.q2R_batch(Q0))[:, 0]
+        tt[:K] = P0
+        valid[:K] = True
+        fixed[:K] = ((np.arange(K) < n_anchors) | (idx_n == first)
+                     | (idx_n == win_start) | (seq_n == 0))
 
         # sequential edges: i connects to up to 4 predecessors (same seq),
-        # measurements ALWAYS from raw VIO relative poses (the odometry)
-        e_i, e_j, e_rt, e_ry, e_loop = [], [], [], [], []
-        for li in range(n_anchors + 1, K):
-            for back in range(1, 5):
-                lj = li - back
-                if lj < n_anchors or nodes[lj].sequence != nodes[li].sequence:
-                    continue
-                R_j = nq.q2R(nodes[lj].Q_vio)
-                rel_t = R_j.T @ (nodes[li].P_vio - nodes[lj].P_vio)
-                rel_yaw = vio_yaw[li] - vio_yaw[lj]
-                e_i.append(lj); e_j.append(li)
-                e_rt.append(rel_t); e_ry.append(rel_yaw)
-                e_loop.append(False)
+        # measurements ALWAYS from raw VIO relative poses (the odometry) —
+        # built as one (L, 4) grid of (li, back) pairs
+        lis = np.arange(n_anchors + 1, K)
+        e_i = e_j = np.empty(0, np.int64)
+        if len(lis):
+            ljs = lis[:, None] - np.arange(1, 5)[None, :]  # (L, 4)
+            lif = np.broadcast_to(lis[:, None], ljs.shape)
+            ok = (ljs >= n_anchors) & (seq_n[np.maximum(ljs, 0)]
+                                       == seq_n[lif])
+            e_i = ljs[ok]
+            e_j = lif[ok]
+            R_j = nq.q2R_batch(Q_vio_n[e_i])
+            dP = P_vio_n[e_j] - P_vio_n[e_i]
+            e_rt = np.einsum("nij,ni->nj", R_j, dP)
+            e_ry = vio_yaw[e_j] - vio_yaw[e_i]
+        n_seq_e = len(e_i)
+        l_i, l_j, l_rt, l_ry = [], [], [], []
         for lp in self.loops:
             if lp["cur"] not in local or lp["old"] not in local:
                 continue
-            e_i.append(local[lp["old"]]); e_j.append(local[lp["cur"]])
-            e_rt.append(lp["rel_t"]); e_ry.append(lp["rel_yaw"])
-            e_loop.append(True)
+            l_i.append(local[lp["old"]]); l_j.append(local[lp["cur"]])
+            l_rt.append(lp["rel_t"]); l_ry.append(lp["rel_yaw"])
 
-        E = len(e_i)
+        E = n_seq_e + len(l_i)
         if E == 0:
             return None
         if cfg.use_6dof:
             return "6dof"
         Epad = self._pad(E, cfg.pad_edges_min)
-        ei = np.zeros(Epad, np.int32); ei[:E] = e_i
-        ej = np.zeros(Epad, np.int32); ej[:E] = e_j
-        ert = np.zeros((Epad, 3)); ert[:E] = np.asarray(e_rt)
-        ery = np.zeros(Epad); ery[:E] = e_ry
-        elo = np.zeros(Epad, bool); elo[:E] = e_loop
+        ei = np.zeros(Epad, np.int32); ei[:n_seq_e] = e_i
+        ej = np.zeros(Epad, np.int32); ej[:n_seq_e] = e_j
+        ert = np.zeros((Epad, 3))
+        ery = np.zeros(Epad)
+        elo = np.zeros(Epad, bool)
+        if n_seq_e:
+            ert[:n_seq_e] = e_rt
+            ery[:n_seq_e] = e_ry
+        if l_i:
+            ei[n_seq_e:E] = l_i
+            ej[n_seq_e:E] = l_j
+            ert[n_seq_e:E] = np.asarray(l_rt)
+            ery[n_seq_e:E] = l_ry
+            elo[n_seq_e:E] = True
         evl = np.zeros(Epad, bool); evl[:E] = True
         return dict(yaw=yaw, tt=tt, pitch=pitch, roll=roll, valid=valid,
                     fixed=fixed, ei=ei, ej=ej, ert=ert, ery=ery, elo=elo,
@@ -1208,17 +1341,23 @@ class PoseGraph:
         propagation to keyframes after the optimized set."""
         nodes, vio_yaw, K = prob["nodes"], prob["vio_yaw"], prob["K"]
         pitch, roll = prob["pitch"], prob["roll"]
+        Qc = nq.R2q_batch(nq.ypr2R_batch(
+            np.stack([yaw_o[:K], pitch[:K], roll[:K]], axis=-1)))
         for li, kf in enumerate(nodes):
-            R = nq.ypr2R([yaw_o[li], pitch[li], roll[li]])
-            self.corrected[kf.index] = (t_o[li], nq.R2q(R))
+            self.corrected[kf.index] = (t_o[li], Qc[li])
         cur_kf = nodes[K - 1]
         li = K - 1
         self.yaw_drift = float(nq.normalize_angle_deg(yaw_o[li] - vio_yaw[li]))
         Rd = self._r_drift()
         self.t_drift = t_o[li] - Rd @ cur_kf.P_vio
-        for kf in self.keyframes:
-            if kf.index > cur_kf.index:
-                self.corrected[kf.index] = self.apply_drift(kf.P_vio, kf.Q_vio)
+        tail = [kf for kf in self.keyframes if kf.index > cur_kf.index]
+        if tail:
+            Pt = np.stack([np.asarray(kf.P_vio) for kf in tail])
+            Qt = np.stack([np.asarray(kf.Q_vio) for kf in tail])
+            P2 = Pt @ Rd.T + self.t_drift
+            Q2 = nq.qmul_batch(nq.R2q(Rd)[None], Qt)
+            for i, kf in enumerate(tail):
+                self.corrected[kf.index] = (P2[i], Q2[i])
 
     # ------------------------------------------------------------------
     def _optimize_6dof_impl(self, nodes, Kpad, valid, fixed, local):
@@ -1340,6 +1479,7 @@ class PoseGraph:
                                  else self.earliest_loop_index),
             yaw_drift=self.yaw_drift,
             t_drift=self.t_drift,
+            brief_pattern_hash=brief.pattern_hash(),
         )
 
     def load(self, path: str):
@@ -1349,6 +1489,18 @@ class PoseGraph:
         their corrected poses.  Loading into a non-empty graph offsets
         all indices past the existing keyframes."""
         data = np.load(path)
+        if "brief_pattern_hash" in data:
+            saved_hash = int(data["brief_pattern_hash"])
+            if saved_hash != brief.pattern_hash():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pose-graph %s was saved under a DIFFERENT BRIEF test "
+                    "pattern (hash %d vs active %d): stored descriptors "
+                    "will not match live ones — relocalization against "
+                    "this map will not work (set VINS_BRIEF_PATTERN to the "
+                    "pattern the map was built with)", path, saved_hash,
+                    brief.pattern_hash())
         n = int(data["n"])
         off = len(self.keyframes)
         has_corr = "P_corr" in data
@@ -1357,7 +1509,12 @@ class PoseGraph:
                 index=off + i, t=float(data["t"][i]),
                 sequence=0,
                 P_vio=data["P_vio"][i], Q_vio=data["Q_vio"][i],
-                kp_uv=data["kp_uv"][i], kp_norm=data["kp_norm"][i],
+                kp_uv=data["kp_uv"][i],
+                kp_norm=(np.concatenate(
+                    [data["kp_norm"][i],
+                     np.zeros(data["kp_norm"][i].shape[:-1] + (1,))], -1)
+                    if data["kp_norm"][i].shape[-1] == 2
+                    else data["kp_norm"][i]),
                 kp_valid=data["kp_valid"][i].astype(bool),
                 kp_desc=data["kp_desc"][i].astype(np.int8),
                 wp_world=np.zeros((self.cfg.max_wp, 3)),
@@ -1367,13 +1524,30 @@ class PoseGraph:
             )
             self.keyframes.append(kf)
             self._db_append(kf.kp_desc.astype(np.int8), kf.kp_valid,
-                            kf.kp_norm)
+                            kf.kp_norm, kf_index=kf.index)
             if has_corr:
                 self.corrected[kf.index] = (np.asarray(data["P_corr"][i]),
                                             np.asarray(data["Q_corr"][i]))
         # rebuild the loop-edge structure so the next optimization still
         # constrains the loaded map (reference re-enters every loaded
         # loop_index/loop_info into its graph, pose_graph.cpp:989-1016)
+        if "loop_cur" not in data and "loops" in data:
+            # legacy v1 layout: (N, 6) rows of [cur, old, rel_yaw, rel_t…]
+            # (no rel_q / inlier counts) — keep the constraints instead of
+            # silently dropping them
+            legacy = np.asarray(data["loops"])
+            for row in legacy:
+                self.loops.append(dict(
+                    cur=int(row[0]) + off, old=int(row[1]) + off,
+                    rel_t=np.asarray(row[3:6], np.float64),
+                    rel_q=np.array([1.0, 0.0, 0.0, 0.0]),
+                    rel_yaw=float(row[2]), n_inliers=0,
+                ))
+            if len(legacy):
+                eli = int(min(int(r[1]) for r in legacy)) + off
+                if (self.earliest_loop_index is None
+                        or eli < self.earliest_loop_index):
+                    self.earliest_loop_index = eli
         if "loop_cur" in data:
             for j in range(len(data["loop_cur"])):
                 self.loops.append(dict(

@@ -233,14 +233,27 @@ def _reproj_err_norm(R, t, Pw, uv):
     return jnp.where(behind, 1e6, e)
 
 
-def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10):
+def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10, z_meas=None,
+            depth_weight: float = 0.5):
     """Weighted Gauss-Newton pose refinement from an initial guess.
 
     Minimizes Σ w‖π(R·Pw + t) − uv‖² over (δθ, δt) with R ← exp(δθ)·R.
     Handles planar point sets (where DLT degenerates) — this mirrors the
     reference's use of OpenCV's *iterative* PnP seeded with a pose guess
-    (``keyframe.cpp:195-249``, ``feature_manager.cpp:560-588``)."""
+    (``keyframe.cpp:195-249``, ``feature_manager.cpp:560-588``).
+
+    ``z_meas`` (N,) optional MEASURED camera-frame depths (RGB-D): adds a
+    relative-depth residual ``depth_weight·(z − z_m)/z_m`` per point with
+    valid depth.  Reprojection alone leaves the rotation↔lateral-
+    translation direction ill-conditioned at narrow FOV / shallow depth
+    spread (few-pixel mismatches inside the RANSAC threshold bend the
+    pose several cm along it — measured on the loop-closure bench); the
+    depth rows pin it.  The reference's findConnection is 2D-3D only —
+    this is strictly more information the RGB-D rig already has."""
     dtype = Pw.dtype
+    if z_meas is not None:
+        wz = w * jnp.where((z_meas > 0.1) & (z_meas < 100.0), depth_weight, 0.0)
+        z_safe = jnp.maximum(z_meas, 0.1)
 
     def body(carry, _):
         R, t = carry
@@ -251,7 +264,11 @@ def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10):
             pc = Pw @ Rn.T + tn
             z = jnp.where(jnp.abs(pc[:, 2]) > 1e-6, pc[:, 2], 1e-6)
             r = pc[:, :2] / z[:, None] - uv
-            return (r * w[:, None]).reshape(-1)
+            r = (r * w[:, None]).reshape(-1)
+            if z_meas is not None:
+                rz = (pc[:, 2] - z_meas) / z_safe * wz
+                r = jnp.concatenate([r, rz])
+            return r
 
         z6 = jnp.zeros(6, dtype)
         r = resid(z6)
@@ -272,7 +289,7 @@ def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10):
 def pnp_ransac_guess(
     key: jax.Array,
     Pw: jax.Array,  # (N,3) world points
-    uv: jax.Array,  # (N,2) normalized-plane observations
+    uv: jax.Array,  # (N,2) or (N,3): normalized obs [+ measured depth]
     valid: jax.Array,  # (N,)
     R_init: jax.Array,  # (3,3) world->cam initial rotation
     t_init: jax.Array,  # (3,)
@@ -284,8 +301,17 @@ def pnp_ransac_guess(
     """RANSAC around Gauss-Newton refinement from an initial pose guess:
     each trial refines on a random 8-subset, inliers are counted on all
     points, and the best model is re-refined on its inlier set (the
-    reference's solvePnPRansac-with-guess behavior)."""
+    reference's solvePnPRansac-with-guess behavior).
+
+    A third ``uv`` column, when present, carries the observations'
+    MEASURED camera depths (RGB-D): they enter the Gauss-Newton residual
+    (see ``_pnp_gn``) and a tight-inlier (3 px) annealed polish refines
+    the final model — together these pin the rotation↔translation
+    direction the reprojection-only problem leaves weak.  Inlier counting
+    stays reprojection-only at ``threshold`` (the reference's gate)."""
     dtype = Pw.dtype
+    z_meas = uv[:, 2] if uv.shape[-1] == 3 else None
+    uv = uv[:, :2]
     subsets = _random_subsets(key, valid, n_trials, 8)
 
     def one_trial(idx):
@@ -293,7 +319,8 @@ def pnp_ransac_guess(
         # TPU under the vmapped (trials x batched-candidates) stacking
         w = jnp.clip(jax.nn.one_hot(idx, Pw.shape[0], dtype=dtype).sum(0),
                      0.0, 1.0) * valid.astype(dtype)
-        R, t = _pnp_gn(Pw, uv, w, R_init, t_init, iters=refine_iters)
+        R, t = _pnp_gn(Pw, uv, w, R_init, t_init, iters=refine_iters,
+                       z_meas=z_meas)
         e = _reproj_err_norm(R, t, Pw, uv)
         inl = (e < threshold) & valid
         return jnp.sum(inl), jnp.concatenate([R, t[:, None]], axis=-1)
@@ -305,10 +332,19 @@ def pnp_ransac_guess(
     inliers0 = (e < threshold) & valid
     # final polish on all inliers
     R, t = _pnp_gn(Pw, uv, inliers0.astype(dtype), M[:, :3], M[:, 3],
-                   iters=refine_iters)
+                   iters=refine_iters, z_meas=z_meas)
     e = _reproj_err_norm(R, t, Pw, uv)
     inliers = (e < threshold) & valid
     n_in = jnp.sum(inliers)
+    # annealed polish: re-refine on TIGHT (3 px) inliers only — wrong-but-
+    # close matches inside the 10 px gate otherwise bias the pose along
+    # the ill-conditioned direction.  Used only when enough tight inliers
+    # support it; counts/gates still use the 10 px set.
+    tight = ((e < 3.0 / 460.0) & valid).astype(dtype)
+    R2, t2 = _pnp_gn(Pw, uv, tight, R, t, iters=4, z_meas=z_meas)
+    use2 = jnp.sum(tight) >= jnp.minimum(min_inliers, 12)
+    R = jnp.where(use2, R2, R)
+    t = jnp.where(use2, t2, t)
     ok = n_in >= min_inliers
     return RansacResult(
         inliers=inliers, model=jnp.concatenate([R, t[:, None]], axis=-1),

@@ -43,9 +43,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..loop.pose_graph import (PoseGraph, PoseGraphConfig, _db_query_all,
-                               _db_query_multi, make_batch_extractor,
-                               verify_loops_device)
+from ..loop.pose_graph import (LazyRow, PoseGraph, PoseGraphConfig,
+                               _db_query_all, _db_query_multi,
+                               make_batch_extractor, verify_loops_device)
 from ..models.camera import CameraModel
 from .batched_pipeline import FrameBatch, ScanOutputs
 
@@ -114,8 +114,12 @@ class BatchedLoopCloser:
         flts = np.zeros((self.CAND_PAD, 24), np.float32)
         for j, (b, kf, cand, _, i_row, w_r, w_t) in enumerate(cc):
             g = self.graphs[b]
-            slot = int(np.searchsorted(g._db_index, cand))
-            if not (slot < len(g._db_index) and g._db_index[slot] == cand):
+            # resolve the slot against the index map SNAPSHOTTED with the
+            # stacked DBs (a compaction after the snapshot re-maps the live
+            # g._db_index but not the snapshot rows we read from)
+            idx_map = self._dbs_index_snap[b]
+            slot = int(np.searchsorted(idx_map, cand))
+            if not (slot < len(idx_map) and idx_map[slot] == cand):
                 # old keyframe not retrieval-resident (evicted between
                 # detection and verify — cannot happen in-segment, but be
                 # safe): host fallback for the whole group
@@ -176,6 +180,7 @@ class BatchedLoopCloser:
         self._pgo_backlog: set = set()
         self._pgo_vfns: dict = {}
         self._dbs_stacked = None  # stacked DB snapshot for device verify
+        self._dbs_index_snap = None  # slot->kf-index maps, same snapshot
         # pipeline stage slots (st0 = packed gating token, newest)
         self._st0 = self._st1 = self._st2 = self._st3 = None
         self.n_keyframes = 0
@@ -201,6 +206,7 @@ class BatchedLoopCloser:
         c._pgo_backlog = set(self._pgo_backlog)
         c._pgo_vfns = self._pgo_vfns  # shared compiled-solver cache
         c._dbs_stacked = None
+        c._dbs_index_snap = None
         c._st0 = c._st1 = c._st2 = c._st3 = None
         c.n_keyframes, c.n_loops = self.n_keyframes, self.n_loops
         c.graphs = [g.clone() for g in self.graphs]
@@ -233,8 +239,8 @@ class BatchedLoopCloser:
         # fabricate a perfectly matching pair: Hamming gate passes, so the
         # PnP-RANSAC programs trace (accept/reject outcomes are ignored)
         n = min(cfg.max_wp, cfg.max_kp)
-        wp_desc = cur.wp_desc.copy()
-        wp_desc[:n] = old.kp_desc[:n]
+        wp_desc = np.array(cur.wp_desc)  # host copy (field may be a device array)
+        wp_desc[:n] = np.asarray(old.kp_desc)[:n]
         wp_valid = np.zeros(cfg.max_wp, bool)
         wp_valid[:n] = np.asarray(old.kp_valid[:n], bool)
         cur_fake = cur._replace(wp_desc=wp_desc, wp_valid=wp_valid)
@@ -272,7 +278,7 @@ class BatchedLoopCloser:
         the next dispatch; call once after the final consume_finish if the
         per-sequence graphs will be saved or queried directly)."""
         pend, self._pending_append = self._pending_append, []
-        for (desc_d, valid_d, norm_d, by_seq) in pend:
+        for (desc_d, valid_d, norm_d, by_seq, kf_rows) in pend:
             for b, idxs in by_seq.items():
                 k = len(idxs)
                 qp = self.seq_pad or _pad_pow2(k)
@@ -282,7 +288,8 @@ class BatchedLoopCloser:
                     d = desc_d[idxp]
                     v = valid_d[idxp] & (jnp.arange(qp) < len(part))[:, None]
                     self.graphs[b]._db_append_block(
-                        d, v, count=len(part), norms=norm_d[idxp])
+                        d, v, count=len(part), norms=norm_d[idxp],
+                        kf_indices=[kf_rows[i] for i in part])
 
     # ------------------------------------------------------------------
     def _gate(self, b: int, is_kf: bool, P: np.ndarray) -> bool:
@@ -392,12 +399,13 @@ class BatchedLoopCloser:
         ks = np.asarray([s[0] for s in sel] + [0] * (Kp - K))
         bs = np.asarray([s[1] for s in sel] + [0] * (Kp - K))
         imgs = jnp.asarray(batch.imgs)[ks, bs]
+        depths = jnp.asarray(batch.depths)[ks, bs]
         wp_uv_d = jnp.asarray(outs.wp_uv)[ks, bs]
         wp_valid_d = jnp.asarray(outs.wp_valid)[ks, bs]
         wp_world_d = jnp.asarray(outs.wp_world)[ks, bs]
         wp_norm_d = jnp.asarray(outs.wp_norm)[ks, bs]
         Q_d = jnp.asarray(outs.Q)[ks, bs]
-        ext = self._extract(imgs, wp_uv_d, wp_valid_d)
+        ext = self._extract(imgs, wp_uv_d, wp_valid_d, depths)
         kp_desc_d, kp_valid_d = ext[3], ext[2]
         by_seq: dict = {}
         for i in range(K):
@@ -432,6 +440,7 @@ class BatchedLoopCloser:
         mergeable = len(caps) == 1 and 0 not in caps
         if not mergeable:
             self._dbs_stacked = None
+            self._dbs_index_snap = None
         if mergeable:
             B = len(self.graphs)
             qidx = np.zeros((B, qp), np.int64)
@@ -443,8 +452,12 @@ class BatchedLoopCloser:
             dbvs = jnp.stack([g._dev_valid for g in self.graphs])
             dbns = jnp.stack([g._dev_norm for g in self.graphs])
             # retained for the device-resident loop verification (valid for
-            # this segment: appends are deferred until the NEXT dispatch)
+            # this segment: appends are deferred until the NEXT dispatch).
+            # The slot->keyframe index maps are snapshotted WITH the stack:
+            # a compaction between this dispatch and the verify would
+            # otherwise silently re-map slots under the snapshot's feet
             self._dbs_stacked = (dbs, dbvs, dbns)
+            self._dbs_index_snap = [g._db_index.copy() for g in self.graphs]
             qsel = jnp.asarray(qidx)
             qs = kp_desc_d[qsel]  # (B, qp, max_kp, 256)
             qvs = (kp_valid_d[qsel]
@@ -591,17 +604,23 @@ class BatchedLoopCloser:
     def _chunk_insert(self, chunk: dict):
         """Fetch one chunk + Pass A: insert every keyframe, detect loop
         candidates from the prefetched retrieval scores (host numpy), and
-        queue the chunk's deferred DB append."""
+        queue the chunk's deferred DB append.
+
+        The DESCRIPTORS are never fetched: they stay device-resident
+        (per-row device slices in the stored ``KeyFrameData``) — the
+        verification path reads them from the chunk/DB device arrays
+        anyway, and host copies were ~90% of this stage's readback bytes
+        (~2.4 MB/chunk through the ~50 ms/MB tunnel)."""
         ext, scores_d, by_seq = chunk["ext"], chunk["scores_d"], chunk["by_seq"]
         ks, bs, K = chunk["ks"], chunk["bs"], chunk["K"]
         ts, P_all = chunk["ts"], chunk["P_all"]
-        (kp_uv, kp_norm, kp_valid, kp_desc, wp_desc), wp_world, wp_norm, \
+        kp_desc_d, wp_desc_d = ext[3], ext[4]
+        (kp_uv, kp_norm, kp_valid), wp_world, wp_norm, \
             wp_valid, Qh, scores_h = jax.device_get(
-                (ext, chunk["wp_world_d"], chunk["wp_norm_d"],
+                (ext[:3], chunk["wp_world_d"], chunk["wp_norm_d"],
                  chunk["wp_valid_d"], chunk["Q_d"], scores_d))
         kp_uv, kp_norm, kp_valid = (np.asarray(a) for a in
                                     (kp_uv, kp_norm, kp_valid))
-        kp_desc, wp_desc = np.asarray(kp_desc), np.asarray(wp_desc)
         scores: dict = {}
         for b, idxs in by_seq.items():
             parts = scores_h[b]
@@ -613,6 +632,7 @@ class BatchedLoopCloser:
                 scores[b] = {i: rows[j] for j, i in enumerate(idxs)}
 
         cands = []
+        kf_rows: dict = {}  # chunk row -> keyframe index (for the append)
         for i in range(K):
             k, b = int(ks[i]), int(bs[i])
             g = self.graphs[b]
@@ -622,14 +642,16 @@ class BatchedLoopCloser:
                 P_all[k, b], np.asarray(Qh[i]),
                 np.asarray(wp_world[i]), np.asarray(wp_norm[i]),
                 np.asarray(wp_valid[i]),
-                kp_uv[i], kp_norm[i], kp_valid[i], kp_desc[i], wp_desc[i],
+                kp_uv[i], kp_norm[i], kp_valid[i],
+                LazyRow(kp_desc_d, i), LazyRow(wp_desc_d, i),
                 scores=scores[b][i],
             )
+            kf_rows[i] = kf.index
             if cand is not None:
                 cands.append((b, kf, cand, chunk, i, w_r, w_t))
         # defer this chunk's DB appends (device-resident descriptors) to
         # the next dispatch's flush() — or an explicit final flush()
-        self._pending_append.append((ext[3], ext[2], ext[1], by_seq))
+        self._pending_append.append((ext[3], ext[2], ext[1], by_seq, kf_rows))
         return K, cands
 
     # ------------------------------------------------------------------
@@ -783,3 +805,231 @@ class BatchedLoopCloser:
     def corrected_path(self, b: int) -> list:
         """Loop-corrected keyframe trajectory [(t, P, Q)] of sequence b."""
         return self.graphs[b].path()
+
+
+# ---------------------------------------------------------------------------
+# Latency-mode async loop closer
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _pack_latency_gating(sout):
+    """One ~26-float device pack per frame (is_keyframe, pose, relo round
+    trip) so the latency pipeline reads its pose-graph gating with ONE
+    small readback one frame later — never a blocking sync on the frame it
+    was produced by."""
+    f32 = sout.P.dtype
+    return jnp.concatenate([
+        sout.is_keyframe.astype(f32)[None], sout.P, sout.Q,
+        sout.relo_used.astype(f32)[None], sout.relo_P, sout.relo_Q,
+        sout.relo_cur_P, sout.relo_cur_Q,
+    ])
+
+
+class AsyncLoopStager:
+    """Pose graph for the LATENCY pipeline without per-frame host syncs —
+    the TPU-native equivalent of the reference's concurrent pose_graph
+    nodelet (``pose_graph_nodelet.cpp:449-566``): keyframe work for frame
+    k runs under frame k+1/k+2's fused dispatches.
+
+    Stages per ``on_frame`` call (newest last):
+      2. finish the pending keyframe (fetch extraction smalls + retrieval
+         scores — completed during the previous frame — insert + detect;
+         on a candidate: verify + accept + PGO + fast-relo feedback);
+      1. read the previous frame's gating pack; if it is an admitted
+         keyframe, dispatch extraction + retrieval scoring (both queue
+         behind the current frame's fused step — the device never idles);
+      0. enqueue this frame's gating pack (async copy to host).
+
+    Loop corrections therefore land 2-3 frames after the keyframe — the
+    reference's loop thread has the same latency (detectLoop runs on a
+    queue, ``pose_graph.cpp:308-393``)."""
+
+    def __init__(self, pose_graph: PoseGraph, estimator=None,
+                 skip_cnt: int = 0, skip_dis: float = 0.0,
+                 fast_relocalization: bool = False):
+        self.g = pose_graph
+        self.est = estimator
+        self.cfg = pose_graph.cfg
+        self.skip_cnt = skip_cnt
+        self.skip_dis = skip_dis
+        self.fast_relo = fast_relocalization
+        self._extract = make_batch_extractor(self.cfg, pose_graph.cam)
+        self._skip_count = 0
+        self._travel_anchor: Optional[np.ndarray] = None
+        self._st0 = None  # (packed_d, t, sout, img_d)
+        self._st1 = None  # pending keyframe (ext, scores, host fields)
+        self._relo_sent_kf: Optional[int] = None
+        self.n_keyframes = 0
+        self.n_loops = 0
+
+    # ------------------------------------------------------------------
+    def on_frame(self, sout, img, t: float, depth=None):
+        """Advance all stages; call right after the frame's fused dispatch
+        (``sout`` = the StepOutput device pytree, ``img``/``depth`` device
+        images)."""
+        self._finish_pending_kf()
+        self._advance_gating()
+        packed = _pack_latency_gating(sout)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._st0 = (packed, float(t), sout, img, depth)
+
+    def drain(self):
+        """Flush in-flight stages (end of stream)."""
+        self._finish_pending_kf()
+        self._advance_gating()
+        self._finish_pending_kf()
+
+    # ------------------------------------------------------------------
+    def _gate(self, is_kf: bool, P: np.ndarray) -> bool:
+        if not is_kf:
+            return False
+        if self.skip_cnt > 0:
+            self._skip_count += 1
+            if self._skip_count < self.skip_cnt:
+                return False
+            self._skip_count = 0
+        if (self._travel_anchor is not None and self.skip_dis > 0
+                and np.linalg.norm(P - self._travel_anchor) < self.skip_dis):
+            return False
+        self._travel_anchor = P
+        return True
+
+    # ------------------------------------------------------------------
+    def _advance_gating(self):
+        """Stage 1: gating readback for the PREVIOUS frame (its pack
+        completed under this frame's fused step); dispatch extraction +
+        retrieval for admitted keyframes."""
+        tok, self._st0 = self._st0, None
+        if tok is None:
+            return
+        packed_d, t, sout, img, depth = tok
+        p = np.asarray(jax.device_get(packed_d), np.float64)
+        is_kf = p[0] > 0.5
+        P, Q = p[1:4], p[4:8]
+        relo_used = p[8] > 0.5
+        if relo_used and self._relo_sent_kf is not None:
+            self._consume_relo(p)
+        if not self._gate(bool(is_kf), P):
+            return
+        # dispatch extraction on the keyframe image + window points (K=1
+        # batch shape shares the batched extractor's compiled program);
+        # chain retrieval scoring on the still-on-device descriptors
+        ext = self._extract(img[None], sout.wp_uv[None], sout.wp_valid[None],
+                            None if depth is None else depth[None])
+        g = self.g
+        sc = None
+        if g._dev_db is not None and g._db_size > 0:
+            sc = _db_query_multi(g._dev_db, g._dev_valid, ext[3], ext[2],
+                                 float(self.cfg.score_dist))
+        for leaf in jax.tree.leaves((ext[:3], sc)):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                break
+        self._st1 = dict(ext=ext, sc=sc, t=t, P=P, Q=Q, sout=sout)
+
+    # ------------------------------------------------------------------
+    def _finish_pending_kf(self):
+        """Stage 2: complete the pending keyframe — everything here reads
+        device work dispatched one frame ago."""
+        pend, self._st1 = self._st1, None
+        if pend is None:
+            return
+        ext, sc = pend["ext"], pend["sc"]
+        (kp_uv, kp_norm, kp_valid), sc_h, wp_world, wp_norm, wp_valid = \
+            jax.device_get((ext[:3], sc, pend["sout"].wp_world,
+                            pend["sout"].wp_norm, pend["sout"].wp_valid))
+        g = self.g
+        scores = np.asarray(sc_h[0]) if sc_h is not None else None
+        kf, cand = g.insert_keyframe(
+            pend["t"], pend["P"], pend["Q"],
+            np.asarray(wp_world), np.asarray(wp_norm), np.asarray(wp_valid),
+            np.asarray(kp_uv[0]), np.asarray(kp_norm[0]),
+            np.asarray(kp_valid[0]), ext[3][0], ext[4][0],
+            detect_loop=scores is not None, scores=scores,
+        )
+        self.n_keyframes += 1
+        # append AFTER this keyframe's own query was dispatched: the next
+        # keyframe's query (next stage-1) sees it, this one's did not —
+        # recency exclusion makes both equivalent to the serial order
+        g._db_append_block(ext[3], ext[2], count=1, norms=ext[1],
+                           kf_indices=[kf.index])
+        if cand is None:
+            return
+        info = g._find_connection(kf, g.keyframes[cand])
+        if info is None:
+            return
+        self.n_loops += 1
+        g.accept_loop(kf, cand, info)
+        g.optimize()
+        if self.fast_relo and self.est is not None:
+            old = g.keyframes[info["old"]]
+            self.est.set_relo_frame(
+                info["matched_old_norm"], info["inlier_mask"],
+                np.asarray(jax.device_get(pend["sout"].wp_ids)),
+                old.P_vio, old.Q_vio)
+            self._relo_sent_kf = info["cur"]
+
+    # ------------------------------------------------------------------
+    def _consume_relo(self, p: np.ndarray):
+        """Fast-relocalization feedback from the packed gating row (the
+        estimator optimized the relo pose alongside the window,
+        estimator.cpp:1034-1057 -> PoseGraph.update_keyframe_loop)."""
+        from ..utils import quaternion_np as nq
+
+        kf_index, self._relo_sent_kf = self._relo_sent_kf, None
+        P_relo, Q_relo = p[9:12], p[12:16]
+        P_cur, Q_cur = p[16:19], p[19:23]
+        R_relo = nq.q2R(Q_relo)
+        rel_t = R_relo.T @ (P_cur - P_relo)
+        rel_q = nq.qmul(nq.qconj(Q_relo), Q_cur)
+        yaw_cur = float(nq.R2ypr(nq.q2R(Q_cur))[0])
+        yaw_relo = float(nq.R2ypr(R_relo)[0])
+        rel_yaw = float(nq.normalize_angle_deg(yaw_cur - yaw_relo))
+        self.g.update_keyframe_loop(kf_index, rel_t, rel_q, rel_yaw)
+
+    # ------------------------------------------------------------------
+    def compile_warmup(self, img):
+        """Pre-trace the stager's device programs (extraction, retrieval
+        query, find-connection PnP, PGO) on a THROWAWAY graph clone so no
+        one-time compile lands in a timed steady state.  ``img``: a sample
+        frame."""
+        cfg = self.cfg
+        g = self.g.clone()
+        uv = jnp.zeros((1, cfg.max_wp, 2), jnp.float32) + 50.0
+        wv = jnp.ones((1, cfg.max_wp), bool)
+        img_d = jnp.asarray(img)
+        ext = self._extract(img_d[None], uv, wv,
+                            jnp.ones_like(img_d)[None] * 3.0)
+        g._ensure_capacity(2, (cfg.max_kp, 256))
+        jax.device_get(_db_query_multi(g._dev_db, g._dev_valid, ext[3],
+                                       ext[2], float(cfg.score_dist)))
+        # find-connection + PGO trace on fabricated matching keyframes
+        kp_uv, kp_norm, kp_valid, kp_desc, wp_desc = jax.device_get(ext)
+        wpw = np.zeros((cfg.max_wp, 3))
+        wpw[:, 2] = 3.0
+        n = min(cfg.max_wp, cfg.max_kp)
+        wpd = np.zeros((cfg.max_wp, 256), np.int8)
+        wpd[:n] = np.asarray(kp_desc[0])[:n]
+        wvn = np.zeros(cfg.max_wp, bool)
+        wvn[:n] = np.asarray(kp_valid[0])[:n]
+        q0 = np.array([1.0, 0, 0, 0])
+        kf0, _ = g.insert_keyframe(0.0, np.zeros(3), q0, wpw,
+                                   np.asarray(kp_norm[0])[:cfg.max_wp], wvn,
+                                   kp_uv[0], kp_norm[0], kp_valid[0],
+                                   kp_desc[0], wpd, detect_loop=False)
+        kf1, _ = g.insert_keyframe(1.0, np.zeros(3) + 0.01, q0, wpw,
+                                   np.asarray(kp_norm[0])[:cfg.max_wp], wvn,
+                                   kp_uv[0], kp_norm[0], kp_valid[0],
+                                   kp_desc[0], wpd, detect_loop=False)
+        info = g._find_connection(kf1, kf0)
+        g.loops.append(info if info is not None else dict(
+            cur=kf1.index, old=kf0.index, rel_t=np.zeros(3), rel_yaw=0.0,
+            rel_q=q0, n_inliers=cfg.min_loop_num))
+        if g.earliest_loop_index is None:
+            g.earliest_loop_index = kf0.index
+        g.optimize()

@@ -54,6 +54,7 @@ class VinsPipeline:
         )
         self.timer = StageTimer()
         self._frame_idx = 0
+        self._held_frame = None  # paired frame waiting on IMU coverage
         self._last_frame_time: Optional[float] = None
         self._imu_for_predict: list = []  # (t, gyr)
         self._bg_cache = np.zeros(3)
@@ -69,6 +70,7 @@ class VinsPipeline:
 
         # loop closure (the reference's second nodelet), optional
         self.pose_graph = None
+        self._loop_stager = None
         if vcfg.loop_closure:
             from .loop.pose_graph import PoseGraph, PoseGraphConfig
 
@@ -82,6 +84,17 @@ class VinsPipeline:
             self._kf_travel_anchor: Optional[np.ndarray] = None
             self._kf_skip_count = 0
             self._relo_sent_kf: Optional[int] = None  # kf index awaiting relo
+            if not eager_outputs:
+                # async pose graph (the reference's concurrent nodelet):
+                # keyframe gating reads back one frame LATE, extraction +
+                # retrieval dispatch behind the next frame's fused step —
+                # zero added syncs on the frame path
+                from .parallel.loop_closer import AsyncLoopStager
+
+                self._loop_stager = AsyncLoopStager(
+                    self.pose_graph, self.estimator,
+                    skip_cnt=vcfg.skip_cnt, skip_dis=vcfg.skip_dis,
+                    fast_relocalization=vcfg.fast_relocalization)
 
     # ------------------------------------------------------------------
     def push_imu(self, t: float, acc, gyr):
@@ -125,7 +138,10 @@ class VinsPipeline:
     # ------------------------------------------------------------------
     def spin_once(self) -> Optional[dict]:
         """Process at most one paired frame; returns odometry or None."""
-        frame = self.pairer.next_frame()
+        frame = self._held_frame
+        self._held_frame = None
+        if frame is None:
+            frame = self.pairer.next_frame()
         if frame is None:
             return None
         if self.pairer.consume_reset():
@@ -139,10 +155,12 @@ class VinsPipeline:
 
         t = frame.t
         if self.vcfg.imu:
-            # backend needs IMU coverage up to t+td (IMUAvailable gate)
+            # backend needs IMU coverage up to t+td (the reference BLOCKS on
+            # IMUAvailable, estimator_nodelet.cpp:462-509): HOLD the frame
+            # and retry next spin — live streams with IMU jitter must not
+            # lose the frame (it is already popped from the pairer)
             if not self.estimator.imu_available(t + self.vcfg.td):
-                # requeue: in an offline run the caller feeds IMU first, so
-                # this only happens at stream end
+                self._held_frame = frame
                 return None
             rel_R = self._predict_relative_R(
                 self._last_frame_time if self._last_frame_time else t - 1e-3, t
@@ -154,9 +172,14 @@ class VinsPipeline:
         if (self._fused_enabled and frame.publish
                 and self.estimator.solver_flag == est.VinsEstimator.NON_LINEAR):
             out = self._spin_fused(frame)
-            if self.pose_graph is not None and out is not None and isinstance(out, dict):
-                self._consume_relo_result(out)
-                self._maybe_add_keyframe(out, frame, t)
+            if self.pose_graph is not None and out is not None:
+                if isinstance(out, dict):
+                    self._consume_relo_result(out)
+                    self._maybe_add_keyframe(out, frame, t)
+                elif self._loop_stager is not None:
+                    self._loop_stager.on_frame(
+                        out, jnp.asarray(frame.image, self.dtype), t,
+                        depth=jnp.asarray(frame.depth, self.dtype))
             return out
 
         with self.timer.stage("frontend"):
@@ -336,6 +359,7 @@ class VinsPipeline:
                 P, np.asarray(out["Q"]),
                 np.asarray(wp_world), np.asarray(wp_uv), np.asarray(wp_norm),
                 np.asarray(valid),
+                depth=jnp.asarray(frame.depth, self.dtype),
             )
         if info is not None and self.vcfg.fast_relocalization:
             # feed the matched old-keyframe observations back into the
@@ -366,4 +390,6 @@ class VinsPipeline:
                 break
             if out is not None:
                 n += 1
+        if self._loop_stager is not None:
+            self._loop_stager.drain()
         return self.estimator.trajectory
