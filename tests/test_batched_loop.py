@@ -20,6 +20,7 @@ from vins_rgbd_fast_tpu.parallel import batched_pipeline as bp
 from vins_rgbd_fast_tpu.parallel.loop_closer import BatchedLoopCloser
 
 from test_pipeline_loop import _revisit_trajectory, RIG, W, H
+from vins_rgbd_fast_tpu.io.stream import ate_rmse
 
 
 def _make_cfg(seq):
@@ -146,3 +147,87 @@ def test_batched_loop_closure_equivalent_to_sequential():
         [(lp["cur"], lp["old"]) for lp in g0.loops]
     for lp_a, lp_b in zip(g0.loops, g2.loops):
         np.testing.assert_allclose(lp_a["rel_t"], lp_b["rel_t"], atol=5e-5)
+
+
+@pytest.mark.slow
+def test_batched_loop_reduces_drift_ate():
+    """The batched path's drift-only correction (no fast-relocalization —
+    the reference's ``fast_relocalization: 0`` default, scoped out in
+    parallel/loop_closer.py:30-34) must still CANCEL real drift: on a
+    revisit scene with an unobservable mid-outbound yaw pulse, the
+    pose-graph-corrected trajectory beats raw VIO — the same value
+    proposition test_loop_closure_reduces_drift_ate proves for the
+    latency pipeline's relo-enabled path (pose_graph.cpp:410-581).
+
+    Fast-relo is structurally latency-bound: by the time the segment-
+    deferred closer verifies a loop, the keyframe's matched features have
+    been marginalized out of the 10-frame window (segments are scanned 2-4
+    stages ahead), so relo factors would bind nothing.  The drift
+    composition + periodic PGO recover the same trajectory-level accuracy;
+    this test is the evidence."""
+    B = 2
+    n_frames = 72
+    warmup = 14
+    seg_len = 6  # < recency_exclusion: deferred appends are exact
+    drifty = syn.make_revisit_trajectory(n_frames, RIG, seed=11, accel=1.5,
+                                         axis=(0.0, 1.0, 0.0), cycles=2)
+    drifty = syn.corrupt_imu(drifty, seed=31, gyr_noise=0.003, gyr_pulse=0.06,
+                             pulse_frac=(0.18, 0.3))
+    seqs = [drifty,
+            syn.make_trajectory(n_frames, RIG, seed=55, omega_scale=0.15,
+                                acc_scale=0.3)]
+    frames = [list(syn.frames(s, RIG)) for s in seqs]
+
+    pipes = []
+    for b in range(B):
+        p = VinsPipeline(_make_cfg(seqs[b]), dtype=jnp.float32,
+                         eager_outputs=False, failure_check_interval=10 ** 9)
+        for (t, a, w) in seqs[b].imu:
+            p.push_imu(t, a, w)
+        for (t, img, depth) in frames[b][:warmup]:
+            p.push_image(t, np.asarray(img))
+            p.push_depth(t, np.asarray(depth))
+            p.spin_once()
+        pipes.append(p)
+    assert all(p.estimator.solver_flag == p.estimator.NON_LINEAR for p in pipes)
+
+    trk, st = bp.stack_states(pipes)
+    runner = bp.BatchedVioRunner(pipes[0].tcfg, pipes[0].cam,
+                                 pipes[0].estimator.cfg)
+    pg_cfg = PoseGraphConfig(
+        max_wp=pipes[0].estimator.cfg.maxf, max_kp=128,
+        recency_exclusion=8, min_loop_num=12,
+        score_best=0.10, score_second=0.03)
+    closer = BatchedLoopCloser(
+        pipes[0].cam, pipes[0].vcfg.ric_matrix(),
+        pipes[0].vcfg.tic_vector(), B, pg_cfg)
+
+    # the bench's pipelined pattern (pack right after each scan)
+    for s0 in range(warmup, n_frames, seg_len):
+        s1 = min(s0 + seg_len, n_frames)
+        batch = bp.stage_frames(pipes, frames, s0, s1)
+        trk, st, outs = runner.run(trk, st, batch)
+        closer.pipeline_advance_packed(closer.pack_dispatch(batch, outs))
+    closer.pipeline_drain()
+
+    g = closer.graphs[0]
+    assert len(g.loops) >= 2, "drifted revisit closed too few loops"
+    path = g.path()
+    ate_corr = ate_rmse([p[0] for p in path], [p[1] for p in path],
+                        seqs[0].times, seqs[0].P, align=False)
+    ate_vio = ate_rmse([k.t for k in g.keyframes],
+                       [k.P_vio for k in g.keyframes],
+                       seqs[0].times, seqs[0].P, align=False)
+    # the pulse must have produced REAL drift, and the drift-only batched
+    # corrections must remove a solid share of it.  Whole-path ATE only
+    # partially improves by construction: loops fire at the REVISIT, so the
+    # outbound span between pulse and revisit keeps its error, and the
+    # descriptor matches on this marginal synthetic scene measure only part
+    # of the drift (the reference's matcher has the same recall limits —
+    # optimize4DoF bends the chain at loop edges, pose_graph.cpp:410-581;
+    # the latency-path twin test_loop_closure_reduces_drift_ate asserts the
+    # stronger 0.7x bound on its richer-keyframe scene)
+    assert ate_vio > 0.04, f"drift source too weak: VIO ATE {ate_vio:.4f}"
+    assert ate_corr < 0.85 * ate_vio, (
+        f"batched loop closure failed to reduce drift: VIO {ate_vio:.4f} m "
+        f"-> corrected {ate_corr:.4f} m")

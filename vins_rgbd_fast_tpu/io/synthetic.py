@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Iterator, List, NamedTuple, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -449,3 +449,54 @@ def frames(seq: SyntheticSequence, rig: SyntheticRig) -> Iterator[Tuple[float, j
         img, depth = render_frame(rig, jnp.asarray(t_wc, jnp.float32),
                                   jnp.asarray(q_wc, jnp.float32))
         yield float(seq.times[k]), img, depth
+
+
+@partial(jax.jit, static_argnames=("rig",))
+def render_poses_batch(rig: SyntheticRig, P_w: jax.Array, q_wc: jax.Array):
+    """Render N camera poses in ONE dispatch: (N,3),(N,4) -> (N,H,W)×2.
+
+    The per-frame ``render_frame`` costs one tunneled dispatch each on the
+    remote-TPU bench host (the axon transport serializes every launch over
+    a stdio relay); pre-rendering a 212-frame × 8-sequence bench run frame
+    by frame spends ~45 min in launch latency alone.  Batched it is ~10
+    dispatches."""
+    return jax.vmap(lambda P, q: _render_core(
+        rig, P, q, jnp.zeros(3, jnp.float32), jnp.float32(0.0)))(P_w, q_wc)
+
+
+def render_sequence_batch(seq: SyntheticSequence, rig: SyntheticRig,
+                          k0: int = 0, k1: Optional[int] = None,
+                          deg: Optional[SensorDegradation] = None,
+                          seed: int = 0, chunk: int = 32):
+    """Render frames [k0, k1) of ``seq`` in vmapped chunks; returns
+    (times (T,), imgs (T,H,W), depths (T,H,W)) with the arrays on device.
+    ``deg`` applies the sensor-degradation stack per frame (vmapped)."""
+    if k1 is None:
+        k1 = len(seq.times)
+    poses = [camera_pose(seq, k) for k in range(k0, k1)]
+    P = np.stack([p[0] for p in poses]).astype(np.float32)
+    Q = np.stack([p[1] for p in poses]).astype(np.float32)
+    ts = np.asarray(seq.times[k0:k1], np.float64)
+    imgs, depths = [], []
+    key = jax.random.PRNGKey(seed)
+    for j0 in range(0, len(P), chunk):
+        j1 = min(j0 + chunk, len(P))
+        if deg is not None and deg.dyn_radius > 0:
+            ctr = jnp.asarray(np.stack(
+                [dyn_sphere_center(deg, float(t)) for t in ts[j0:j1]]),
+                jnp.float32)
+            im, dp = jax.vmap(lambda p, q, c: _render_core(
+                rig, p, q, c, jnp.float32(deg.dyn_radius)))(
+                    jnp.asarray(P[j0:j1]), jnp.asarray(Q[j0:j1]), ctr)
+        else:
+            im, dp = render_poses_batch(rig, jnp.asarray(P[j0:j1]),
+                                        jnp.asarray(Q[j0:j1]))
+        if deg is not None:
+            keys = jnp.stack([jax.random.fold_in(key, k0 + j)
+                              for j in range(j0, j1)])
+            im, dp = jax.vmap(lambda i, d, k, t: degrade_frame(
+                rig, deg, i, d, k, t))(
+                    im, dp, keys, jnp.asarray(ts[j0:j1], jnp.float32))
+        imgs.append(im)
+        depths.append(dp)
+    return ts, jnp.concatenate(imgs), jnp.concatenate(depths)

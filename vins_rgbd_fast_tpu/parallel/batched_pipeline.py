@@ -304,6 +304,39 @@ def stack_states(pipes) -> Tuple:
     return trk, st
 
 
+def stage_frames_arrays(pipes, seq_ts, seq_imgs, seq_depths,
+                        t_start: int, t_end: int,
+                        dtype=jnp.float32) -> FrameBatch:
+    """Build a FrameBatch from per-sequence PRE-RENDERED device stacks
+    (``io.synthetic.render_sequence_batch`` output) in O(1) device ops:
+    one (T,B) gather per image/depth field and one host->device put for
+    the IMU buckets (assembled in numpy via the estimators' pairing
+    logic).  The per-frame ``stage_frames`` costs ~6 tunneled dispatches
+    per frame — ~1200 launches per bench run through the axon relay."""
+    B = len(pipes)
+    T = t_end - t_start
+    imgs = jnp.stack([jnp.asarray(seq_imgs[b][t_start:t_end], dtype)
+                      for b in range(B)], axis=1)
+    depths = jnp.stack([jnp.asarray(seq_depths[b][t_start:t_end], dtype)
+                        for b in range(B)], axis=1)
+    ts_np = np.stack([np.asarray(seq_ts[b][t_start:t_end])
+                      for b in range(B)], axis=1)
+    maxi = pipes[0].estimator.cfg.max_imu
+    dts = np.zeros((T, B, maxi))
+    acc = np.zeros((T, B, maxi + 1, 3))
+    gyr = np.zeros((T, B, maxi + 1, 3))
+    for b in range(B):
+        for i, k in enumerate(range(t_start, t_end)):
+            d, a, g = pipes[b].estimator._collect_interval_np(
+                float(seq_ts[b][k - 1]), float(seq_ts[b][k]))
+            dts[i, b], acc[i, b], gyr[i, b] = d, a, g
+    return FrameBatch(
+        imgs=imgs, depths=depths, ts=jnp.asarray(ts_np, dtype),
+        imu_dts=jnp.asarray(dts, dtype), imu_acc=jnp.asarray(acc, dtype),
+        imu_gyr=jnp.asarray(gyr, dtype),
+    )
+
+
 def stage_frames(pipes, frame_lists, t_start: int, t_end: int,
                  dtype=jnp.float32) -> FrameBatch:
     """Build a FrameBatch covering frames [t_start, t_end) from per-sequence

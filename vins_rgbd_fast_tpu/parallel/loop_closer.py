@@ -807,6 +807,69 @@ class BatchedLoopCloser:
         return self.graphs[b].path()
 
 
+class ThreadedLoopCloser:
+    """Drives a :class:`BatchedLoopCloser` on a WORKER THREAD — the
+    reference's architecture exactly: a second nodelet process consumes
+    keyframes concurrently and the estimator pays nothing
+    (``pose_graph_nodelet.cpp:449-566``).
+
+    The main (scan) thread per segment only enqueues ``(batch, outs)``
+    device handles — zero device syncs, zero blocking.  The worker runs
+    the closer's serial ``consume`` per segment: its gating readback,
+    extraction fetch, verification and PGO round trips (each a full
+    tunnel RTT on the remote-TPU bench host) all overlap the main
+    thread's next scan dispatches.  The closer's own 5-stage in-thread
+    pipeline is unnecessary here — the thread IS the overlap.
+
+    ``drain()`` joins the queue, flushes deferred DB appends and runs the
+    final PGO wakeup; worker exceptions re-raise there."""
+
+    def __init__(self, closer: BatchedLoopCloser):
+        import queue
+        import threading
+
+        self.closer = closer
+        self.stats: list = []
+        self._q: "queue.Queue" = queue.Queue()
+        self._exc: Optional[BaseException] = None
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="loop-closer")
+        self._worker.start()
+
+    def submit(self, batch: FrameBatch, outs: ScanOutputs):
+        """Enqueue one scan segment's outputs (device handles; no sync)."""
+        self._q.put((batch, outs))
+
+    def _run(self):
+        while True:
+            batch, outs = self._q.get()
+            try:
+                st = self.closer.consume(batch, outs)
+                if st and st.get("n_keyframes"):
+                    self.stats.append(st)
+            except BaseException as e:  # noqa: BLE001 — reported at drain
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def drain(self) -> list:
+        """Wait for all queued segments, flush appends, run the final PGO
+        wakeup; returns the per-segment stats list."""
+        self._q.join()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+        c = self.closer
+        c.flush()
+        if c._pgo_backlog:
+            due, c._pgo_backlog = set(c._pgo_backlog), set()
+            for b in due:
+                g = c.graphs[b]
+                c._pgo_last_t[b] = g.keyframes[-1].t if g.keyframes else 0.0
+            c._optimize_graphs(due)
+        return self.stats
+
+
 # ---------------------------------------------------------------------------
 # Latency-mode async loop closer
 # ---------------------------------------------------------------------------
@@ -827,61 +890,97 @@ def _pack_latency_gating(sout):
 
 
 class AsyncLoopStager:
-    """Pose graph for the LATENCY pipeline without per-frame host syncs —
-    the TPU-native equivalent of the reference's concurrent pose_graph
-    nodelet (``pose_graph_nodelet.cpp:449-566``): keyframe work for frame
-    k runs under frame k+1/k+2's fused dispatches.
+    """Pose graph for the LATENCY pipeline without ANY host syncs on the
+    frame path — the TPU-native equivalent of the reference's concurrent
+    pose_graph nodelet (``pose_graph_nodelet.cpp:449-566``), realized as a
+    WORKER THREAD (the reference's model exactly: the estimator nodelet
+    costs nothing for the pose graph's work).
 
-    Stages per ``on_frame`` call (newest last):
-      2. finish the pending keyframe (fetch extraction smalls + retrieval
-         scores — completed during the previous frame — insert + detect;
-         on a candidate: verify + accept + PGO + fast-relo feedback);
-      1. read the previous frame's gating pack; if it is an admitted
-         keyframe, dispatch extraction + retrieval scoring (both queue
-         behind the current frame's fused step — the device never idles);
-      0. enqueue this frame's gating pack (async copy to host).
+    The main (frame) thread per frame only packs a ~26-float gating row
+    (one tiny device dispatch — launches are asynchronous) and appends the
+    token to a buffer; every ``fetch_every`` frames the buffered rows are
+    stacked (one dispatch) and handed to the worker.  The worker pays the
+    blocking device->host round trips (each sync costs a full tunnel RTT
+    on the remote-TPU bench host): ONE stacked gating fetch per
+    ``fetch_every`` frames, plus extraction/retrieval/verification/PGO
+    work for admitted keyframes — all concurrent with the main thread's
+    fused dispatches, which never wait.
 
-    Loop corrections therefore land 2-3 frames after the keyframe — the
-    reference's loop thread has the same latency (detectLoop runs on a
-    queue, ``pose_graph.cpp:308-393``)."""
+    Loop corrections land ≤ ``fetch_every`` frames + worker backlog after
+    the keyframe — the reference's loop thread has the same queue latency
+    under load (``pose_graph.cpp:308-393``)."""
 
     def __init__(self, pose_graph: PoseGraph, estimator=None,
                  skip_cnt: int = 0, skip_dis: float = 0.0,
-                 fast_relocalization: bool = False):
+                 fast_relocalization: bool = False, fetch_every: int = 16):
+        import queue
+        import threading
+
         self.g = pose_graph
         self.est = estimator
         self.cfg = pose_graph.cfg
         self.skip_cnt = skip_cnt
         self.skip_dis = skip_dis
         self.fast_relo = fast_relocalization
+        self.fetch_every = max(int(fetch_every), 1)
         self._extract = make_batch_extractor(self.cfg, pose_graph.cam)
         self._skip_count = 0
         self._travel_anchor: Optional[np.ndarray] = None
-        self._st0 = None  # (packed_d, t, sout, img_d)
-        self._st1 = None  # pending keyframe (ext, scores, host fields)
         self._relo_sent_kf: Optional[int] = None
         self.n_keyframes = 0
         self.n_loops = 0
+        self._buf: list = []  # [(packed_d, t, sout, img_d, depth_d)]
+        self._q: "queue.Queue" = queue.Queue()
+        self._exc: Optional[BaseException] = None
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="loop-stager")
+        self._worker.start()
 
     # ------------------------------------------------------------------
     def on_frame(self, sout, img, t: float, depth=None):
-        """Advance all stages; call right after the frame's fused dispatch
-        (``sout`` = the StepOutput device pytree, ``img``/``depth`` device
-        images)."""
-        self._finish_pending_kf()
-        self._advance_gating()
+        """Record this frame's gating token (``sout`` = the StepOutput
+        device pytree, ``img``/``depth`` device images).  Dispatch-only:
+        never blocks on the device."""
         packed = _pack_latency_gating(sout)
-        try:
-            packed.copy_to_host_async()
-        except AttributeError:
-            pass
-        self._st0 = (packed, float(t), sout, img, depth)
+        self._buf.append((packed, float(t), sout, img, depth))
+        if len(self._buf) >= self.fetch_every:
+            self._flush_buf()
+
+    def _flush_buf(self):
+        if not self._buf:
+            return
+        toks, self._buf = self._buf, []
+        stacked = jnp.stack([tk[0] for tk in toks])  # one dispatch
+        self._q.put((stacked, toks))
 
     def drain(self):
-        """Flush in-flight stages (end of stream)."""
-        self._finish_pending_kf()
-        self._advance_gating()
-        self._finish_pending_kf()
+        """Flush buffered tokens and wait for the worker to finish all
+        queued work (end of stream, or before reading the pose graph)."""
+        self._flush_buf()
+        self._q.join()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    # ------------------------------------------------------------------
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                self._process(*item)
+            except BaseException as e:  # noqa: BLE001 — reported at drain
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _process(self, stacked, toks):
+        rows = np.asarray(jax.device_get(stacked), np.float64)  # ONE sync
+        for row, (_, t, sout, img, depth) in zip(rows, toks):
+            if row[8] > 0.5 and self._relo_sent_kf is not None:
+                self._consume_relo(row)
+            if not self._gate(bool(row[0] > 0.5), row[1:4]):
+                continue
+            self._handle_keyframe(t, row[1:4], row[4:8], sout, img, depth)
 
     # ------------------------------------------------------------------
     def _gate(self, is_kf: bool, P: np.ndarray) -> bool:
@@ -899,54 +998,23 @@ class AsyncLoopStager:
         return True
 
     # ------------------------------------------------------------------
-    def _advance_gating(self):
-        """Stage 1: gating readback for the PREVIOUS frame (its pack
-        completed under this frame's fused step); dispatch extraction +
-        retrieval for admitted keyframes."""
-        tok, self._st0 = self._st0, None
-        if tok is None:
-            return
-        packed_d, t, sout, img, depth = tok
-        p = np.asarray(jax.device_get(packed_d), np.float64)
-        is_kf = p[0] > 0.5
-        P, Q = p[1:4], p[4:8]
-        relo_used = p[8] > 0.5
-        if relo_used and self._relo_sent_kf is not None:
-            self._consume_relo(p)
-        if not self._gate(bool(is_kf), P):
-            return
-        # dispatch extraction on the keyframe image + window points (K=1
-        # batch shape shares the batched extractor's compiled program);
-        # chain retrieval scoring on the still-on-device descriptors
+    def _handle_keyframe(self, t, P, Q, sout, img, depth):
+        """Worker-side keyframe: extraction + retrieval dispatch, fetch,
+        insert + detect; on a candidate verify + accept + PGO + fast-relo
+        feedback.  All blocking syncs happen on the worker thread."""
+        g = self.g
         ext = self._extract(img[None], sout.wp_uv[None], sout.wp_valid[None],
                             None if depth is None else depth[None])
-        g = self.g
         sc = None
         if g._dev_db is not None and g._db_size > 0:
             sc = _db_query_multi(g._dev_db, g._dev_valid, ext[3], ext[2],
                                  float(self.cfg.score_dist))
-        for leaf in jax.tree.leaves((ext[:3], sc)):
-            try:
-                leaf.copy_to_host_async()
-            except AttributeError:
-                break
-        self._st1 = dict(ext=ext, sc=sc, t=t, P=P, Q=Q, sout=sout)
-
-    # ------------------------------------------------------------------
-    def _finish_pending_kf(self):
-        """Stage 2: complete the pending keyframe — everything here reads
-        device work dispatched one frame ago."""
-        pend, self._st1 = self._st1, None
-        if pend is None:
-            return
-        ext, sc = pend["ext"], pend["sc"]
         (kp_uv, kp_norm, kp_valid), sc_h, wp_world, wp_norm, wp_valid = \
-            jax.device_get((ext[:3], sc, pend["sout"].wp_world,
-                            pend["sout"].wp_norm, pend["sout"].wp_valid))
-        g = self.g
+            jax.device_get((ext[:3], sc, sout.wp_world, sout.wp_norm,
+                            sout.wp_valid))
         scores = np.asarray(sc_h[0]) if sc_h is not None else None
         kf, cand = g.insert_keyframe(
-            pend["t"], pend["P"], pend["Q"],
+            t, P, Q,
             np.asarray(wp_world), np.asarray(wp_norm), np.asarray(wp_valid),
             np.asarray(kp_uv[0]), np.asarray(kp_norm[0]),
             np.asarray(kp_valid[0]), ext[3][0], ext[4][0],
@@ -954,8 +1022,8 @@ class AsyncLoopStager:
         )
         self.n_keyframes += 1
         # append AFTER this keyframe's own query was dispatched: the next
-        # keyframe's query (next stage-1) sees it, this one's did not —
-        # recency exclusion makes both equivalent to the serial order
+        # keyframe's query sees it, this one's did not — recency exclusion
+        # makes both equivalent to the serial order
         g._db_append_block(ext[3], ext[2], count=1, norms=ext[1],
                            kf_indices=[kf.index])
         if cand is None:
@@ -967,6 +1035,9 @@ class AsyncLoopStager:
         g.accept_loop(kf, cand, info)
         g.optimize()
         if self.fast_relo and self.est is not None:
+            # set_relo_frame swaps one reference read by the frame thread's
+            # next solve (GIL-atomic swap — the reference's relo_buf mutex,
+            # estimator_nodelet.cpp:523-539)
             old = g.keyframes[info["old"]]
             self.est.set_relo_frame(
                 info["matched_old_norm"], info["inlier_mask"],
