@@ -23,7 +23,7 @@ the reference's optimize4DoF thread), BENCH_THREAD (worker-thread loop
 closer, default on), BENCH_OVERLAP (in-thread 5-stage pipelined closer
 when BENCH_THREAD=0), BENCH_DEGRADE=off|mild|harsh (sensor-realism
 presets), BENCH_DISTORT (radtan rig, default on), BENCH_DRIFT (gyro
-pulse rad/s injected into revisit sequences, default 0.05),
+pulse rad/s injected into revisit sequences, default 0.2),
 BENCH_LAT_LOOP (pose graph in latency mode, default on),
 BENCH_SCORE_BEST/BENCH_SCORE_SECOND (retrieval double threshold,
 defaults 0.08/0.02 — PnP verification gates precision).
@@ -172,7 +172,7 @@ def run_latency() -> dict:
     warmup = 16
     fci = int(os.environ.get("BENCH_FAILURE_CHECK", str(10 ** 9)))
     with_loop = os.environ.get("BENCH_LAT_LOOP", "1") != "0"
-    drift = float(os.environ.get("BENCH_DRIFT", "0.05"))
+    drift = float(os.environ.get("BENCH_DRIFT", "0.2"))
 
     rig = _rig()
     if with_loop:
@@ -346,7 +346,7 @@ def run_batched() -> dict:
     # pose graph exists to cancel (pose_graph.cpp:410-581).  `loop_ate_m`
     # below must BEAT `loop_vio_ate_m`, not merely match it.  Clean
     # sequences keep exact IMU so `ate_m` still reports pure-VIO accuracy.
-    drift = float(os.environ.get("BENCH_DRIFT", "0.05"))
+    drift = float(os.environ.get("BENCH_DRIFT", "0.2"))
     if drift > 0:
         seqs = [syn.corrupt_imu(s, seed=300 + b, gyr_noise=0.003,
                                 gyr_pulse=drift, pulse_frac=(0.18, 0.3))

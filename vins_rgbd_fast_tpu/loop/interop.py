@@ -32,7 +32,7 @@ import os
 import numpy as np
 
 from . import brief
-from .pose_graph import KeyFrameData, PoseGraph
+from .pose_graph import KeyFrameData, PoseGraph, combine_db_rows
 
 
 def save_reference_pose_graph(dir_path: str, graph: PoseGraph) -> None:
@@ -154,7 +154,13 @@ def load_reference_pose_graph(dir_path: str, graph: PoseGraph) -> int:
             wp_desc=np.zeros((cfg.max_wp, 256), np.int8),
         )
         graph.keyframes.append(kf)
-        graph._db_append(kp_desc, kp_valid, kp_norm, kf_index=idx)
+        # reference maps carry kp only; the zero wp half of the combined
+        # row is masked invalid
+        d, v, n3 = combine_db_rows(kp_desc, kp_valid,
+                                   kp_norm.astype(np.float32), kf.wp_desc,
+                                   kf.wp_valid,
+                                   kf.wp_norm.astype(np.float32))
+        graph._db_append(d, v, n3, kf_index=idx)
         graph.corrected[idx] = (pg_t, pg_q)
         if loop_index >= 0 and loop_index in idx_map:
             graph.loops.append(dict(

@@ -58,8 +58,15 @@ class PoseGraphConfig:
     score_dist: float = 60.0  # Hamming radius counted as a "word hit"
     score_best: float = 0.14  # analog of detectLoop's 0.05 on DBoW score
     score_second: float = 0.05  # analog of 0.015 two-peak test
-    pg_iters: int = 5
-    huber: float = 0.1
+    # LM budget + robustifier.  The reference runs Ceres HuberLoss(0.1) on
+    # loop edges over big many-loop graphs; on the small graphs this
+    # framework's benches/tests build (3-5 loop edges), a 0.1 Huber crushes
+    # large genuine innovations (a 7.8 deg injected-drift loop corrected
+    # only 1.5 deg at 0.1 vs 5.2 deg at 1.0, measured on-device) — false
+    # loops are gated upstream by PnP-RANSAC >= min_loop_num inliers, so
+    # the looser clamp trades little robustness.  DEVIATION, documented.
+    pg_iters: int = 10
+    huber: float = 1.0
     recency_exclusion: int = 50  # detectLoop skips the last 50 keyframes
     min_loop_num: int = MIN_LOOP_NUM
     use_6dof: bool = False  # VO mode: full SE(3) graph (optimize6DoF)
@@ -197,6 +204,19 @@ def extract_keyframe_features(
 # dynamic_update_slice (no copy), uploads one keyframe's descriptors.
 
 
+def _f32_matmul(fn):
+    """Force f32 matmul precision (TPU bf16 default corrupts LM normal
+    equations; see backend.estimator._f32_matmul)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2))
 def _db_update(db, dbv, dbn, desc, valid, norm, size):
     zero = jnp.zeros((), size.dtype)
@@ -264,6 +284,7 @@ def _db_update_block(db, dbv, dbn, descs, valids, norms, size):
 
 
 @partial(jax.jit, static_argnames=("match_thresh", "min_loop_num"))
+@_f32_matmul
 def verify_loops_batch(seeds, wp_world, wp_desc, wp_valid,
                        kp_desc, kp_valid, kp_norm, R_init, t_init,
                        match_thresh: float, min_loop_num: int):
@@ -288,6 +309,7 @@ def verify_loops_batch(seeds, wp_world, wp_desc, wp_valid,
 
 
 @partial(jax.jit, static_argnames=("match_thresh", "min_loop_num"))
+@_f32_matmul
 def verify_loops_device(ints, flts, wld_chunk, wd_chunk, wv_chunk,
                         dbs, dbvs, dbns,
                         match_thresh: float, min_loop_num: int):
@@ -326,6 +348,45 @@ def verify_loops_device(ints, flts, wld_chunk, wd_chunk, wv_chunk,
     return jax.vmap(one)(ints, flts)
 
 
+def combined_old_host(kf: "KeyFrameData"):
+    """Host-side combined kp∪wp (desc, valid, norm3) arrays of a stored
+    keyframe — the old side every verification path matches against."""
+    return combine_db_rows(
+        np.asarray(kf.kp_desc), np.asarray(kf.kp_valid),
+        np.asarray(kf.kp_norm, np.float32), np.asarray(kf.wp_desc),
+        np.asarray(kf.wp_valid), np.asarray(kf.wp_norm, np.float32))
+
+
+def combine_db_rows(kp_desc, kp_valid, kp_norm, wp_desc, wp_valid, wp_norm):
+    """Concatenate a keyframe's RETRIEVAL (FAST-20) and WINDOW (tracked
+    VIO feature) descriptor sets into one DB row of
+    ``max_kp + max_wp`` points.
+
+    Loop verification matches the CURRENT keyframe's window descriptors
+    against the old keyframe's row.  The reference matches window-vs-FAST
+    only (``keyframe.cpp:searchByBRIEFDes``), which relies on the tracker's
+    features coinciding with detector corners; on dense synthetic texture
+    the two selections are nearly disjoint (median nearest-corner distance
+    ~21 px measured on the bench scene) and matching collapses — while
+    window-vs-WINDOW matches are near-exact (median Hamming 20/256: a
+    revisit re-tracks the same corners deterministically).  Appending BOTH
+    sets makes verification robust and costs one concat per append; works
+    on numpy or device arrays, batched (leading K axis) or single."""
+    xp = jnp if isinstance(kp_desc, jax.Array) else np
+    kn = kp_norm
+    if kn.shape[-1] == 2:
+        kn = xp.concatenate(
+            [kn, xp.zeros(kn.shape[:-1] + (1,), kn.dtype)], axis=-1)
+    wn = wp_norm
+    if wn.shape[-1] == 2:
+        wn = xp.concatenate(
+            [wn, xp.zeros(wn.shape[:-1] + (1,), wn.dtype)], axis=-1)
+    desc = xp.concatenate([kp_desc, wp_desc], axis=-2)
+    valid = xp.concatenate([kp_valid, wp_valid], axis=-1)
+    norm = xp.concatenate([kn, wn], axis=-2)
+    return desc, valid, norm
+
+
 def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
     """Compiled K-way keyframe feature extraction: the batched runner
     produces keyframes from B sequences at once, and per-keyframe eager
@@ -349,18 +410,6 @@ def make_batch_extractor(cfg: PoseGraphConfig, cam: CameraModel):
 # ---------------------------------------------------------------------------
 
 
-
-def _f32_matmul(fn):
-    """Force f32 matmul precision (TPU bf16 default corrupts LM normal
-    equations; see backend.estimator._f32_matmul)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*a, **k):
-        with jax.default_matmul_precision("float32"):
-            return fn(*a, **k)
-
-    return wrapped
 
 
 def _ypr_R(yaw_deg, pitch_deg, roll_deg):
@@ -408,7 +457,14 @@ def optimize_4dof(
         def one(ei, ej, rel_t, rel_yaw, w, is_loop, ok):
             yi, ti = yaw[ei], t[ei]
             yj, tj = yaw[ej], t[ej]
-            yaw_w = jnp.where(is_loop, 1.0 / 10.0, 1.0)
+            # yaw residual /10 on EVERY edge (the reference's FourDOFError
+            # scales sequential yaw identically to FourDOFWeightError's
+            # loop yaw, pose_graph/utility/tic_toc... FourDOFError
+            # residuals[3] /= 10.0) — a full-weight sequential yaw chain is
+            # 10x stiffer than the reference's and freezes large loop yaw
+            # innovations out of the solution (measured: a 7.8 deg
+            # drift-pulse innovation corrected by only 0.15 deg)
+            yaw_w = jnp.where(is_loop, 1.0 / 10.0, 1.0 / 10.0)
             meas = (rel_t, rel_yaw, pitch[ei], roll[ei], yaw_w)
 
             def local(d):
@@ -663,24 +719,47 @@ class PoseGraph:
         return np.asarray(self._dev_db[: self._db_size])
 
     def _ensure_capacity(self, n_needed: int, like_shape):
-        """Grow the device DB (doubling) so ``n_needed`` slots exist."""
+        """Grow the device DB (doubling) so ``n_needed`` slots exist; also
+        WIDENS existing rows when ``like_shape`` carries more points than
+        the current allocation (rows mix kp-only loads with combined
+        kp∪wp appends — old rows keep their valid masks, the new tail is
+        masked off)."""
         n_needed = min(n_needed, self.cfg.max_keyframes)
         cap_now = 0 if self._dev_db is None else self._dev_db.shape[0]
-        if n_needed <= cap_now:
+        width_now = 0 if self._dev_db is None else self._dev_db.shape[1]
+        width = max(int(like_shape[0]), width_now)
+        if n_needed <= cap_now and width == width_now:
             return
         cap = max(64, cap_now)
         while cap < n_needed:
             cap *= 2
         cap = min(cap, self.cfg.max_keyframes)
-        db = jnp.zeros((cap,) + tuple(like_shape), jnp.int8)
-        dbv = jnp.zeros((cap, like_shape[0]), bool)
-        dbn = jnp.zeros((cap, like_shape[0], 3), jnp.float32)
+        db = jnp.zeros((cap, width, 256), jnp.int8)
+        dbv = jnp.zeros((cap, width), bool)
+        dbn = jnp.zeros((cap, width, 3), jnp.float32)
         if self._dev_db is not None:
             n = self._db_size
-            db = db.at[:n].set(self._dev_db[:n])
-            dbv = dbv.at[:n].set(self._dev_valid[:n])
-            dbn = dbn.at[:n].set(self._dev_norm[:n])
+            db = db.at[:n, :width_now].set(self._dev_db[:n])
+            dbv = dbv.at[:n, :width_now].set(self._dev_valid[:n])
+            dbn = dbn.at[:n, :width_now].set(self._dev_norm[:n])
         self._dev_db, self._dev_valid, self._dev_norm = db, dbv, dbn
+
+    def _pad_row_width(self, desc, valid, norm):
+        """Pad a (…, P, 256) append to the DB's current row width with
+        invalid rows (narrow appends into a widened DB)."""
+        width = self._dev_db.shape[1] if self._dev_db is not None else None
+        if width is None or desc.shape[-2] >= width:
+            return desc, valid, norm
+        pad = width - desc.shape[-2]
+        xp = jnp if isinstance(desc, jax.Array) else np
+        desc = xp.concatenate(
+            [desc, xp.zeros(desc.shape[:-2] + (pad, 256), desc.dtype)], -2)
+        valid = xp.concatenate(
+            [valid, xp.zeros(valid.shape[:-1] + (pad,), bool)], -1)
+        norm = xp.concatenate(
+            [norm, xp.zeros(norm.shape[:-2] + (pad, norm.shape[-1]),
+                            norm.dtype)], -2)
+        return desc, valid, norm
 
     def _db_append(self, desc: np.ndarray, valid: Optional[np.ndarray] = None,
                    norm: Optional[np.ndarray] = None,
@@ -712,6 +791,7 @@ class PoseGraph:
             norm = np.concatenate(
                 [norm, np.zeros(norm.shape[:-1] + (1,), np.float32)], -1)
         self._ensure_capacity(self._db_size + 1, desc.shape)
+        desc, valid, norm = self._pad_row_width(desc, valid, norm)
         self._dev_db, self._dev_valid, self._dev_norm = _db_update(
             self._dev_db, self._dev_valid, self._dev_norm, jnp.asarray(desc),
             jnp.asarray(valid), jnp.asarray(norm, jnp.float32),
@@ -815,6 +895,7 @@ class PoseGraph:
             descs, valids, norms = descs[:k], valids[:k], norms[:k]
         self._ensure_capacity(self._db_size + int(descs.shape[0]),
                               tuple(descs.shape[1:]))
+        descs, valids, norms = self._pad_row_width(descs, valids, norms)
         self._dev_db, self._dev_valid, self._dev_norm = _db_update_block(
             self._dev_db, self._dev_valid, self._dev_norm,
             descs.astype(jnp.int8), valids.astype(bool),
@@ -917,8 +998,12 @@ class PoseGraph:
             if loop_info is not None:
                 self.accept_loop(kf, cand, loop_info)
         if append_db:
-            self._db_append(kf.kp_desc, kf.kp_valid, kf.kp_norm,
-                            kf_index=kf.index)
+            d, v, n3 = combine_db_rows(
+                np.asarray(kf.kp_desc), np.asarray(kf.kp_valid),
+                np.asarray(kf.kp_norm), np.asarray(kf.wp_desc),
+                np.asarray(kf.wp_valid),
+                np.asarray(kf.wp_norm, np.float32))
+            self._db_append(d, v, n3, kf_index=kf.index)
         if loop_info is not None and optimize_now:
             self.optimize()
         return loop_info
@@ -1121,9 +1206,10 @@ class PoseGraph:
         batched loop closer verifies whole segments of candidates in one
         dispatch via ``verify_loops_batch`` + ``_loop_from_pnp``."""
         cfg = self.cfg
+        okd, okv, okn = combined_old_host(old)
         idx_b, ok = brief.match(
-            jnp.asarray(cur.wp_desc), jnp.asarray(old.kp_desc),
-            jnp.asarray(cur.wp_valid), jnp.asarray(old.kp_valid),
+            jnp.asarray(cur.wp_desc), jnp.asarray(okd),
+            jnp.asarray(cur.wp_valid), jnp.asarray(okv),
             max_dist=cfg.match_thresh,
         )
         ok_np = np.asarray(ok)
@@ -1133,7 +1219,7 @@ class PoseGraph:
         res = ransac_ops.pnp_ransac_guess(
             jax.random.PRNGKey(cur.index),
             jnp.asarray(cur.wp_world),
-            jnp.asarray(old.kp_norm[np.asarray(idx_b)]),
+            jnp.asarray(okn[np.asarray(idx_b)]),
             ok,
             jnp.asarray(R_init), jnp.asarray(t_init),
             threshold=10.0 / 460.0,
@@ -1170,7 +1256,9 @@ class PoseGraph:
             cur=cur.index, old=old.index,
             rel_t=rel_t, rel_yaw=rel_yaw, rel_q=rel_q,
             n_inliers=int(n_inliers),
-            matched_old_norm=np.asarray(old.kp_norm)[idx_b][..., :2],
+            # idx_b indexes the COMBINED kp∪wp old-side point set (both the
+            # host and device verify paths match against it)
+            matched_old_norm=combined_old_host(old)[2][idx_b][..., :2],
             inlier_mask=np.asarray(inlier_mask),
         )
 
@@ -1452,7 +1540,7 @@ class PoseGraph:
         corr = [self.corrected.get(k.index, (k.P_vio, k.Q_vio)) for k in kfs]
         np.savez_compressed(
             path,
-            version=2,
+            version=3,
             n=len(kfs),
             index=np.asarray([k.index for k in kfs]),
             t=np.asarray([k.t for k in kfs]),
@@ -1465,6 +1553,15 @@ class PoseGraph:
             kp_norm=np.stack([k.kp_norm for k in kfs]) if kfs else np.zeros((0, 0, 2)),
             kp_valid=np.stack([k.kp_valid for k in kfs]) if kfs else np.zeros((0, 0)),
             kp_desc=np.stack([k.kp_desc for k in kfs]) if kfs else np.zeros((0, 0, 256)),
+            # window-point descriptor set: verification matches cur windows
+            # against the old kp∪wp row, so persisting wp keeps loaded maps
+            # at full verification strength (v3)
+            wp_norm=np.stack([np.asarray(k.wp_norm)[..., :2] for k in kfs])
+            if kfs else np.zeros((0, 0, 2)),
+            wp_valid=np.stack([np.asarray(k.wp_valid) for k in kfs])
+            if kfs else np.zeros((0, 0)),
+            wp_desc=np.stack([np.asarray(k.wp_desc) for k in kfs]).astype(np.int8)
+            if kfs else np.zeros((0, 0, 256)),
             loop_cur=np.asarray([lp["cur"] for lp in self.loops], np.int64),
             loop_old=np.asarray([lp["old"] for lp in self.loops], np.int64),
             loop_rel_t=(np.stack([lp["rel_t"] for lp in self.loops])
@@ -1518,13 +1615,26 @@ class PoseGraph:
                 kp_valid=data["kp_valid"][i].astype(bool),
                 kp_desc=data["kp_desc"][i].astype(np.int8),
                 wp_world=np.zeros((self.cfg.max_wp, 3)),
-                wp_norm=np.zeros((self.cfg.max_wp, 2)),
-                wp_valid=np.zeros(self.cfg.max_wp, bool),
-                wp_desc=np.zeros((self.cfg.max_wp, 256), np.int8),
+                # v3 saves persist the window descriptor set too (full
+                # verification strength on loaded maps); older saves load
+                # zero wp fields — masked invalid in the combined row, so
+                # those maps verify via their kp set alone
+                wp_norm=(np.asarray(data["wp_norm"][i])
+                         if "wp_desc" in data
+                         else np.zeros((self.cfg.max_wp, 2))),
+                wp_valid=(data["wp_valid"][i].astype(bool)
+                          if "wp_desc" in data
+                          else np.zeros(self.cfg.max_wp, bool)),
+                wp_desc=(data["wp_desc"][i].astype(np.int8)
+                         if "wp_desc" in data
+                         else np.zeros((self.cfg.max_wp, 256), np.int8)),
             )
             self.keyframes.append(kf)
-            self._db_append(kf.kp_desc.astype(np.int8), kf.kp_valid,
-                            kf.kp_norm, kf_index=kf.index)
+            d, v, n3 = combine_db_rows(
+                kf.kp_desc.astype(np.int8), kf.kp_valid,
+                np.asarray(kf.kp_norm, np.float32), kf.wp_desc,
+                kf.wp_valid, np.asarray(kf.wp_norm, np.float32))
+            self._db_append(d, v, n3, kf_index=kf.index)
             if has_corr:
                 self.corrected[kf.index] = (np.asarray(data["P_corr"][i]),
                                             np.asarray(data["Q_corr"][i]))

@@ -21,6 +21,25 @@ import jax.numpy as jnp
 from ..utils import quaternion as quat
 
 
+def _f32_matmul(fn):
+    """Force float32 matmul precision inside the estimator programs.
+
+    TPU MXU default precision for f32 operands is reduced (bf16 passes);
+    the Gauss-Newton normal equations J^T J here go indefinite under it —
+    measured on-device as NaN PnP models (0 inliers on every real loop
+    candidate) while the identical program is exact on CPU.  Same knob the
+    BA solver and the pose-graph LM already pin
+    (docs/PERFORMANCE.md "Matmul precision is a correctness knob")."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 class RansacResult(NamedTuple):
     inliers: jax.Array  # (N,) bool
     model: jax.Array  # best model (3,3) F or (3,4) pose
@@ -139,6 +158,7 @@ def _epipolar_err(F, p1, p2):
 
 
 @partial(jax.jit, static_argnames=("n_trials",))
+@_f32_matmul
 def fundamental_ransac(
     key: jax.Array,
     p1: jax.Array,  # (N,2)
@@ -275,8 +295,12 @@ def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10, z_meas=None,
         J = jax.jacfwd(resid)(z6)
         H = J.T @ J + 1e-8 * jnp.eye(6, dtype=dtype)
         d = -jnp.linalg.solve(H, J.T @ r)
-        # guard: reject non-finite updates
-        d = jnp.where(jnp.isfinite(d), d, 0.0)
+        # guard: reject non-finite AND runaway updates (a degenerate
+        # subset's near-singular H can launch the iterate to 1e18 in a few
+        # steps; every later linearization is then garbage — freeze the
+        # iterate instead so the trial merely scores poorly)
+        bad = ~jnp.isfinite(d).all() | (jnp.linalg.norm(d) > 1e3)
+        d = jnp.where(bad, jnp.zeros_like(d), d)
         Rn = quat.q2R(quat.so3_exp(d[0:3])) @ R
         tn = t + d[3:6]
         return (Rn, tn), None
@@ -286,6 +310,7 @@ def _pnp_gn(Pw, uv, w, R0, t0, iters: int = 10, z_meas=None,
 
 
 @partial(jax.jit, static_argnames=("n_trials", "refine_iters"))
+@_f32_matmul
 def pnp_ransac_guess(
     key: jax.Array,
     Pw: jax.Array,  # (N,3) world points
@@ -353,6 +378,7 @@ def pnp_ransac_guess(
 
 
 @partial(jax.jit, static_argnames=("n_trials",))
+@_f32_matmul
 def pnp_ransac(
     key: jax.Array,
     Pw: jax.Array,  # (N,3) world points

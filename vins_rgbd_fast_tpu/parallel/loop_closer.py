@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from ..loop.pose_graph import (LazyRow, PoseGraph, PoseGraphConfig,
                                _db_query_all, _db_query_multi,
+                               combine_db_rows, combined_old_host,
                                make_batch_extractor, verify_loops_device)
 from ..models.camera import CameraModel
 from .batched_pipeline import FrameBatch, ScanOutputs
@@ -86,9 +87,10 @@ class BatchedLoopCloser:
         wd = np.stack([c[1].wp_desc for c in cc]).astype(np.int8)
         wv = np.stack([c[1].wp_valid for c in cc])
         olds = [self.graphs[b].keyframes[cand] for (b, _, cand, *_) in cc]
-        okd = np.stack([o.kp_desc for o in olds]).astype(np.int8)
-        okv = np.stack([o.kp_valid for o in olds])
-        okn = np.stack([o.kp_norm for o in olds]).astype(np.float32)
+        combined = [combined_old_host(o) for o in olds]
+        okd = np.stack([c[0] for c in combined]).astype(np.int8)
+        okv = np.stack([c[1] for c in combined])
+        okn = np.stack([c[2] for c in combined]).astype(np.float32)
         guesses = [self.graphs[b]._pnp_init_guess(o)
                    for (b, *_), o in zip(cc, olds)]
         R0 = np.stack([gu[0] for gu in guesses]).astype(np.float32)
@@ -157,7 +159,7 @@ class BatchedLoopCloser:
             # silently fork the graphs onto the slow per-sequence fallback
             for g in self.graphs:
                 g._ensure_capacity(min(db_capacity, self.cfg.max_keyframes),
-                                   (self.cfg.max_kp, 256))
+                                   (self.cfg.max_kp + self.cfg.max_wp, 256))
         self._extract = make_batch_extractor(self.cfg, cam)
         self.skip_cnt = skip_cnt
         self.skip_dis = skip_dis
@@ -650,8 +652,14 @@ class BatchedLoopCloser:
             if cand is not None:
                 cands.append((b, kf, cand, chunk, i, w_r, w_t))
         # defer this chunk's DB appends (device-resident descriptors) to
-        # the next dispatch's flush() — or an explicit final flush()
-        self._pending_append.append((ext[3], ext[2], ext[1], by_seq, kf_rows))
+        # the next dispatch's flush() — or an explicit final flush().  Rows
+        # are the COMBINED kp∪wp set (verification matches cur windows
+        # against it; see pose_graph.combine_db_rows)
+        desc_c, valid_c, norm_c = combine_db_rows(
+            ext[3], ext[2], ext[1], ext[4], chunk["wp_valid_d"],
+            chunk["wp_norm_d"])
+        self._pending_append.append((desc_c, valid_c, norm_c, by_seq,
+                                     kf_rows))
         return K, cands
 
     # ------------------------------------------------------------------
@@ -912,7 +920,12 @@ class AsyncLoopStager:
 
     def __init__(self, pose_graph: PoseGraph, estimator=None,
                  skip_cnt: int = 0, skip_dis: float = 0.0,
-                 fast_relocalization: bool = False, fetch_every: int = 16):
+                 fast_relocalization: bool = False, fetch_every: int = 8):
+        # fetch_every must stay under the 10-slot window span: the
+        # fast-relo observations a loop sends back bind window features by
+        # id (ops.solver.remap_relo_by_id), and a gating batch longer than
+        # the window guarantees they have been marginalized out by the
+        # time the loop is verified
         import queue
         import threading
 
@@ -1023,8 +1036,12 @@ class AsyncLoopStager:
         self.n_keyframes += 1
         # append AFTER this keyframe's own query was dispatched: the next
         # keyframe's query sees it, this one's did not — recency exclusion
-        # makes both equivalent to the serial order
-        g._db_append_block(ext[3], ext[2], count=1, norms=ext[1],
+        # makes both equivalent to the serial order.  Rows are the combined
+        # kp∪wp set (pose_graph.combine_db_rows)
+        d_c, v_c, n_c = combine_db_rows(
+            ext[3], ext[2], ext[1], ext[4], sout.wp_valid[None],
+            sout.wp_norm[None])
+        g._db_append_block(d_c, v_c, count=1, norms=n_c,
                            kf_indices=[kf.index])
         if cand is None:
             return
@@ -1041,7 +1058,7 @@ class AsyncLoopStager:
             old = g.keyframes[info["old"]]
             self.est.set_relo_frame(
                 info["matched_old_norm"], info["inlier_mask"],
-                np.asarray(jax.device_get(pend["sout"].wp_ids)),
+                np.asarray(jax.device_get(sout.wp_ids)),
                 old.P_vio, old.Q_vio)
             self._relo_sent_kf = info["cur"]
 
@@ -1076,7 +1093,7 @@ class AsyncLoopStager:
         img_d = jnp.asarray(img)
         ext = self._extract(img_d[None], uv, wv,
                             jnp.ones_like(img_d)[None] * 3.0)
-        g._ensure_capacity(2, (cfg.max_kp, 256))
+        g._ensure_capacity(2, (cfg.max_kp + cfg.max_wp, 256))
         jax.device_get(_db_query_multi(g._dev_db, g._dev_valid, ext[3],
                                        ext[2], float(cfg.score_dist)))
         # find-connection + PGO trace on fabricated matching keyframes
