@@ -255,9 +255,15 @@ def _db_query_multi(db, dbv, qs, qvs, score_dist: float):
     """Batched retrieval: (K, max_kp, 256) queries → (K, cap) raw scores in
     ONE dispatch (no recency masking — callers mask per-query on host).
     Used by the batched-throughput loop closer, where every keyframe of a
-    scan segment queries at once."""
-    return jax.vmap(lambda q, qv: _scores_one(db, dbv, q, qv, score_dist))(
-        qs, qvs)
+    scan segment queries at once.
+
+    ``lax.map`` (sequential) over the query axis, NOT vmap: the per-query
+    Hamming intermediate is (Nq, cap·P) — with the combined kp∪wp DB rows
+    a vmapped (K × B) batch of them is ~10 GB of HBM temp (the remote
+    compiler rejects the program); mapped, each step is still one large
+    MXU matmul and peak memory is one query's worth."""
+    return jax.lax.map(
+        lambda a: _scores_one(db, dbv, a[0], a[1], score_dist), (qs, qvs))
 
 
 @partial(jax.jit, static_argnames=("score_dist",))
@@ -265,11 +271,19 @@ def _db_query_all(dbs, dbvs, qs, qvs, score_dist: float):
     """Cross-sequence batched retrieval: (B, cap, max_kp, 256) stacked DBs
     × (B, qp, max_kp, 256) per-sequence queries → (B, qp, cap) raw scores
     in ONE dispatch (per-sequence dispatches cost ~24 ms of tunnel launch
-    overhead each; the batched loop closer queries all sequences at once)."""
-    return jax.vmap(
-        lambda db, dbv, q, qv: jax.vmap(
-            lambda q1, qv1: _scores_one(db, dbv, q1, qv1, score_dist))(q, qv)
-    )(dbs, dbvs, qs, qvs)
+    overhead each; the batched loop closer queries all sequences at once).
+    Sequential over the query axis, B-parallel per step (see
+    ``_db_query_multi`` — memory bound)."""
+    def step(a):
+        q, qv = a  # (B, max_kp, 256), (B, max_kp)
+        return jax.vmap(
+            lambda db, dbv, q1, qv1: _scores_one(db, dbv, q1, qv1,
+                                                 score_dist)
+        )(dbs, dbvs, q, qv)
+
+    out = jax.lax.map(step, (jnp.swapaxes(qs, 0, 1),
+                             jnp.swapaxes(qvs, 0, 1)))  # (qp, B, cap)
+    return jnp.swapaxes(out, 0, 1)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -1207,27 +1221,27 @@ class PoseGraph:
         dispatch via ``verify_loops_batch`` + ``_loop_from_pnp``."""
         cfg = self.cfg
         okd, okv, okn = combined_old_host(old)
-        idx_b, ok = brief.match(
-            jnp.asarray(cur.wp_desc), jnp.asarray(okd),
-            jnp.asarray(cur.wp_valid), jnp.asarray(okv),
-            max_dist=cfg.match_thresh,
-        )
-        ok_np = np.asarray(ok)
-        if ok_np.sum() < cfg.min_loop_num:
-            return None
         R_init, t_init = self._pnp_init_guess(old)
-        res = ransac_ops.pnp_ransac_guess(
-            jax.random.PRNGKey(cur.index),
-            jnp.asarray(cur.wp_world),
-            jnp.asarray(okn[np.asarray(idx_b)]),
-            ok,
-            jnp.asarray(R_init), jnp.asarray(t_init),
-            threshold=10.0 / 460.0,
-            min_inliers=cfg.min_loop_num,
+        f32 = jnp.float32
+        # ONE fused dispatch (Hamming match + PnP-RANSAC, C=1) + ONE
+        # readback: the unfused flow cost 3 tunnel round trips per
+        # candidate, which dominates the latency stager's worker under a
+        # slow transport
+        out = verify_loops_batch(
+            jnp.asarray([cur.index], jnp.int32),
+            jnp.asarray(cur.wp_world, f32)[None],
+            jnp.asarray(cur.wp_desc, jnp.int8)[None],
+            jnp.asarray(cur.wp_valid)[None],
+            jnp.asarray(okd, jnp.int8)[None],
+            jnp.asarray(okv)[None],
+            jnp.asarray(okn, f32)[None],
+            jnp.asarray(R_init, f32)[None], jnp.asarray(t_init, f32)[None],
+            float(cfg.match_thresh), int(cfg.min_loop_num),
         )
+        idx_b, okf, model, ninl, inl = jax.device_get(out)
         return self._loop_from_pnp(
-            cur, old, bool(res.ok), np.asarray(res.model),
-            int(res.n_inliers), np.asarray(idx_b), np.asarray(res.inliers))
+            cur, old, bool(okf[0]), np.asarray(model[0], np.float64),
+            int(ninl[0]), np.asarray(idx_b[0]), np.asarray(inl[0]))
 
     def _loop_from_pnp(self, cur: KeyFrameData, old: KeyFrameData,
                        pnp_ok: bool, M: np.ndarray, n_inliers: int,
@@ -1257,8 +1271,14 @@ class PoseGraph:
             rel_t=rel_t, rel_yaw=rel_yaw, rel_q=rel_q,
             n_inliers=int(n_inliers),
             # idx_b indexes the COMBINED kp∪wp old-side point set (both the
-            # host and device verify paths match against it)
-            matched_old_norm=combined_old_host(old)[2][idx_b][..., :2],
+            # host and device verify paths match against it).  Norms only —
+            # kp_norm/wp_norm are host numpy; combined_old_host would
+            # materialize the old DESCRIPTORS (LazyRow device rows, a full
+            # tunnel readback per accepted loop — measured 50 ms each,
+            # ~1 s/segment with drift-heavy revisits)
+            matched_old_norm=np.concatenate(
+                [np.asarray(old.kp_norm)[:, :2],
+                 np.asarray(old.wp_norm)[:, :2]])[idx_b],
             inlier_mask=np.asarray(inlier_mask),
         )
 
