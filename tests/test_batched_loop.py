@@ -148,6 +148,23 @@ def test_batched_loop_closure_equivalent_to_sequential():
     for lp_a, lp_b in zip(g0.loops, g2.loops):
         np.testing.assert_allclose(lp_a["rel_t"], lp_b["rel_t"], atol=5e-5)
 
+    # (d) the WORKER-THREAD closer (merged single-fetch pipeline advance —
+    # the bench's default driver) finds the same keyframes and loops
+    from vins_rgbd_fast_tpu.parallel.loop_closer import ThreadedLoopCloser
+
+    closer3 = BatchedLoopCloser(
+        pipes[0].cam, pipes[0].vcfg.ric_matrix(),
+        pipes[0].vcfg.tic_vector(), B, pg_cfg)
+    closer3._extract = closer._extract
+    tc = ThreadedLoopCloser(closer3)
+    for (batch, outs) in dev_segments:
+        tc.submit(batch, outs)
+    tc.drain()
+    g3 = closer3.graphs[0]
+    assert len(g3.keyframes) == len(g0.keyframes)
+    assert [(lp["cur"], lp["old"]) for lp in g3.loops] == \
+        [(lp["cur"], lp["old"]) for lp in g0.loops]
+
 
 @pytest.mark.slow
 def test_batched_loop_reduces_drift_ate():
